@@ -1,0 +1,97 @@
+"""Text-analysis column expressions for large-scale training-data pipelines.
+
+All pure ``pyspark.sql.functions`` column algebra (JVM-side, codegen'd,
+SQL-oracle-able) — no UDFs. These extend the reference's scalar-function
+surface (SURVEY.md §2.8: ratio guards, linear scores, conditional fills) to
+the document/text domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny distinctive-stopword inventories for the n-gram/heuristic language ID
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "that"],
+    "es": ["el", "la", "los", "que", "y"],
+    "fr": ["le", "les", "des", "est", "une"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+}
+
+
+def token_count_expr(col: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    return (
+        F.when(F.length(F.trim(c)) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(c), r"\s+")))
+        .cast("int")
+    )
+
+
+def _marker_hits(c: Column, words: list[str]) -> Column:
+    """Count marker-word occurrences via regexp_count on word boundaries."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(c), F.lit(pat))
+
+
+def lang_id_expr(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of distinctive-stopword hit counts.
+
+    Deterministic tie-break: language code ascending; 'und' when no marker
+    hits at all.
+    """
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    scores = [(lang, _marker_hits(c, words)) for lang, words in sorted(_LANG_MARKERS.items())]
+    best = None
+    best_score = None
+    for lang, score in scores:
+        if best is None:
+            best, best_score = F.lit(lang), score
+        else:
+            cond = score > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, score).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def quality_score_exprs(col: Column | str) -> dict[str, Column]:
+    """Document-quality signals: length, punctuation ratio, stopword ratio,
+    alpha ratio, and a composite [0,1] score (linear form like the
+    reference's fantasy-points formula, src/pumps/player_game.py:538-548)."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    n = F.length(c).cast("double")
+    tokens = token_count_expr(c).cast("double")
+    punct = F.regexp_count(c, F.lit(r"[\.,;:!\?]")).cast("double")
+    alpha = F.regexp_count(c, F.lit(r"[A-Za-z]")).cast("double")
+    stop = _marker_hits(c, _LANG_MARKERS["en"]).cast("double")
+    safe = F.when(n > 0, n).otherwise(F.lit(None))
+    punct_ratio = F.coalesce(punct / safe, F.lit(0.0))
+    alpha_ratio = F.coalesce(alpha / safe, F.lit(0.0))
+    stop_ratio = F.coalesce(stop / F.when(tokens > 0, tokens), F.lit(0.0))
+    composite = F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(0.0),
+            0.4 * alpha_ratio
+            + 0.4 * F.least(stop_ratio * 5.0, F.lit(1.0))
+            + 0.2 * (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))),
+        ),
+    )
+    return {
+        "n_chars_q": n.cast("long"),
+        "n_tokens": tokens.cast("long"),
+        "punct_ratio": punct_ratio,
+        "alpha_ratio": alpha_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": composite,
+    }
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized,
+    lowercased text. Engine-portable (identical in DuckDB) and stable across
+    partitionings — the dedup key for exact near-identical collapse."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))

@@ -1,0 +1,19 @@
+from nfl_feature_store_spark.operators.sessionize import sessionize
+from nfl_feature_store_spark.operators.windows import FeatureSpec, compile_window_features
+from nfl_feature_store_spark.operators.asof import asof_join, latest_snapshot
+from nfl_feature_store_spark.operators.rank import max_rank, rank_features
+from nfl_feature_store_spark.operators.ewma import with_ewma
+from nfl_feature_store_spark.operators.elo import elo_per_entity, elo_pairwise
+
+__all__ = [
+    "FeatureSpec",
+    "compile_window_features",
+    "sessionize",
+    "asof_join",
+    "latest_snapshot",
+    "max_rank",
+    "rank_features",
+    "with_ewma",
+    "elo_per_entity",
+    "elo_pairwise",
+]

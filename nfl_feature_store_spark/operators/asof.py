@@ -1,0 +1,96 @@
+"""Point-in-time as-of backfill join — the engine's core operator.
+
+Generalizes the reference's latest-snapshot join
+(reference src/pipelines/events/event_regular_season_game.py:46-58:
+``team_features.groupby('team').nth(-1)`` then left-join future games on team
+only) to arbitrary probe timestamps: every probe row receives the entity's
+latest feature snapshot as of its timestamp.
+
+Implementation is the union + ``last(ignorenulls)`` window trick
+(SURVEY.md §4.2.4): tag feature rows and probe rows, union them, sort once
+per entity by (ts, side), and carry the most recent non-null feature value
+forward onto probe rows. One shuffle + one sort, NO join — at 10^12 turns
+this beats a per-key merge join because the sort is the same
+(entity, ts)-range partitioning every other window family already uses, and
+there is no build side to skew. Probe-heavy entities never build hash tables.
+
+Tie rule (FIXTURES.md F4): ``inclusive=True`` means a probe exactly on a
+feature row's ts sees that snapshot (the snapshot itself is built from
+strictly-past frames, so this is still leakage-free); ``inclusive=False``
+takes strictly-earlier snapshots only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    features: DataFrame,
+    probes: DataFrame,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    probe_ts_col: str = "probe_ts",
+    feature_cols: list[str] | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Attach each entity's latest feature snapshot as of every probe ts.
+
+    ``features``: (entity, ts, feature...) — point-in-time snapshots.
+    ``probes``:   (entity, probe_ts, ...payload) — arbitrary timestamps.
+    Returns probes + one column per feature (NULL when no snapshot precedes).
+    """
+    if feature_cols is None:
+        feature_cols = [c for c in features.columns if c not in (entity_col, ts_col)]
+    probe_payload = [c for c in probes.columns if c not in (entity_col, probe_ts_col)]
+
+    f_side = features.select(
+        F.col(entity_col),
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__f_{c}") for c in feature_cols],
+        *[F.lit(None).cast(probes.schema[c].dataType).alias(f"__p_{c}") for c in probe_payload],
+    )
+    p_side = probes.select(
+        F.col(entity_col),
+        F.col(probe_ts_col).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(features.schema[c].dataType).alias(f"__f_{c}") for c in feature_cols],
+        *[F.col(c).alias(f"__p_{c}") for c in probe_payload],
+    )
+    # inclusive: features sort before probes at equal ts (probe sees snapshot);
+    # strict: probes sort first so equal-ts snapshots are invisible to them.
+    side_order = F.col("__side").asc() if inclusive else F.col("__side").desc()
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(F.col("__ts").asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    unioned = f_side.unionByName(p_side)
+    filled = unioned.withColumns(
+        {f"__f_{c}": F.last(F.col(f"__f_{c}"), ignorenulls=True).over(w) for c in feature_cols}
+    )
+    out = filled.filter(F.col("__side") == 1).select(
+        F.col(entity_col),
+        F.col("__ts").alias(probe_ts_col),
+        *[F.col(f"__p_{c}").alias(c) for c in probe_payload],
+        *[F.col(f"__f_{c}").alias(c) for c in feature_cols],
+    )
+    return out
+
+
+def latest_snapshot(
+    features: DataFrame,
+    entity_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("ts",),
+) -> DataFrame:
+    """Latest row per entity — the reference's ``groupby('team').nth(-1)``
+    (event_regular_season_game.py:47) as a window top-1 (SURVEY.md §2.6 O2)."""
+    w = Window.partitionBy(entity_col).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        features.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

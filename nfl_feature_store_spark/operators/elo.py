@@ -1,0 +1,140 @@
+"""Elo-style cumulative ratings (SURVEY.md §2.5 W9, §7.4 hard part #1).
+
+The reference consumes pre-computed Elo from a sibling repo
+(/root/reference/README.md:15,44-45 — theedgepredictor/elo-rating); this
+engine implements the rating recursion as a first-class operator, per the
+north star ("Elo-style cumulative ratings").
+
+Update rule: ``r_new = r_old + K * (outcome - expected)``,
+``expected = 1 / (1 + 10^(-(r_entity - r_opponent)/400))``; ``elo_pre`` is
+the rating BEFORE the event (strictly-past, leakage-free).
+
+Two execution strategies:
+
+* :func:`elo_per_entity` — each entity rated against a fixed field (1500) or
+  a supplied per-row opponent rating column. Updates are sequential PER
+  ENTITY only => embarrassingly parallel by entity via ``applyInPandas``
+  (the transcript case: one rating stream per conv_id).
+* :func:`elo_pairwise` — two-sided matches (both ratings change per event):
+  globally sequential, so Spark executes a driver-coordinated synchronous
+  loop over time buckets; within a bucket each entity appears at most once
+  (reference analog: one game per team per week). Ratings carry between
+  buckets as a small DataFrame, localCheckpoint'ed to bound lineage; at
+  resume the latest ratings table is the checkpoint (plans/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_K = 20.0
+DEFAULT_INIT = 1500.0
+
+
+def _elo_scan(outcomes: np.ndarray, opp: np.ndarray, k: float, init: float) -> np.ndarray:
+    """Sequential Elo scan over one entity's ordered events.
+
+    The recursion is nonlinear (logistic of the running rating) so it cannot
+    be expressed as a prefix sum; the loop runs on numpy scalars inside an
+    Arrow batch — bounded by per-conversation turn counts.
+    """
+    n = len(outcomes)
+    pre = np.empty(n, dtype="float64")
+    r = init
+    for i in range(n):
+        pre[i] = r
+        if not np.isnan(outcomes[i]):
+            expected = 1.0 / (1.0 + 10.0 ** (-(r - opp[i]) / 400.0))
+            r = r + k * (outcomes[i] - expected)
+    return pre
+
+
+def elo_per_entity(
+    df: DataFrame,
+    outcome_col: str,
+    entity_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("ts", "turn_idx"),
+    opponent_rating_col: str | None = None,
+    k: float = DEFAULT_K,
+    init: float = DEFAULT_INIT,
+    out_col: str = "elo_pre",
+) -> DataFrame:
+    """Per-entity cumulative rating before each event (parallel by entity)."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType(), True)]
+    )
+    order = list(order_cols)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        outcomes = pdf[outcome_col].astype("float64").to_numpy()
+        opp = (
+            pdf[opponent_rating_col].astype("float64").to_numpy()
+            if opponent_rating_col
+            else np.full(len(pdf), init)
+        )
+        pdf[out_col] = _elo_scan(outcomes, opp, k, init)
+        return pdf
+
+    return df.groupBy(entity_col).applyInPandas(kernel, schema=out_schema)
+
+
+def elo_pairwise(
+    df: DataFrame,
+    home_col: str,
+    away_col: str,
+    outcome_col: str,  # 1.0 home win, 0.0 away win, 0.5 draw
+    bucket_col: str,  # time bucket; each entity appears <=1x per bucket
+    k: float = DEFAULT_K,
+    init: float = DEFAULT_INIT,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Two-sided Elo via driver-coordinated synchronous time-bucket loop.
+
+    Returns the input plus ``elo_pre_home`` / ``elo_pre_away`` /
+    ``elo_prob_home``. The per-bucket step is a broadcast join of the (small)
+    ratings table onto that bucket's events — the ratings table has one row
+    per entity, orders of magnitude smaller than the event stream.
+    """
+    spark = df.sparkSession
+    buckets = [r[0] for r in df.select(bucket_col).distinct().orderBy(bucket_col).collect()]
+    ratings = spark.createDataFrame(
+        df.select(F.col(home_col).alias("entity"))
+        .union(df.select(F.col(away_col).alias("entity")))
+        .distinct()
+        .toPandas()
+        .assign(rating=init)
+    )
+    outs: list[DataFrame] = []
+    for i, b in enumerate(buckets):
+        ev = df.filter(F.col(bucket_col) == F.lit(b))
+        rh = ratings.select(F.col("entity").alias(home_col), F.col("rating").alias("elo_pre_home"))
+        ra = ratings.select(F.col("entity").alias(away_col), F.col("rating").alias("elo_pre_away"))
+        ev = ev.join(F.broadcast(rh), home_col, "left").join(F.broadcast(ra), away_col, "left")
+        ev = ev.withColumn(
+            "elo_prob_home",
+            1.0 / (1.0 + F.pow(10.0, -(F.col("elo_pre_home") - F.col("elo_pre_away")) / 400.0)),
+        )
+        delta = F.lit(k) * (F.col(outcome_col) - F.col("elo_prob_home"))
+        updates = ev.select(
+            F.col(home_col).alias("entity"), (F.col("elo_pre_home") + delta).alias("rating")
+        ).union(
+            ev.select(
+                F.col(away_col).alias("entity"), (F.col("elo_pre_away") - delta).alias("rating")
+            )
+        )
+        ratings = (
+            ratings.join(updates.withColumnRenamed("rating", "new_r"), "entity", "left")
+            .select("entity", F.coalesce("new_r", "rating").alias("rating"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ratings = ratings.localCheckpoint(eager=True)  # bound lineage growth
+        outs.append(ev)
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

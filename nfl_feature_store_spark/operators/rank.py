@@ -1,0 +1,52 @@
+"""Per-period league-style ranks (SURVEY.md §2.5 W7).
+
+The reference computes per-(season, week) descending ranks with pandas
+``rank(method='max')`` — a tied group takes the WORST position (verified:
+week-5 2023 five-way tie at 15.50 all rank 25) — on a copied frame and
+re-joins (event_regular_season_game.py:74-77, J8). In Spark the rank is a
+window expression computed in place, no re-join.
+
+``method='max'`` descending == count of rows in the partition with value >=
+current, which is exactly ``count(*) OVER (ORDER BY v DESC RANGE UNBOUNDED
+PRECEDING TO CURRENT ROW)`` — ties share a RANGE frame so each tied row
+counts the whole tied group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def max_rank(value: Column | str, partition_cols: list[str], descending: bool = True) -> Column:
+    """pandas ``rank(method='max')`` as a Spark window expression.
+
+    NULL values receive NULL rank (excluded from the count), matching pandas'
+    ``rank`` NaN behavior.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    order = v.desc_nulls_last() if descending else v.asc_nulls_last()
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order)
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    return F.when(v.isNotNull(), F.count(v).over(w)).otherwise(F.lit(None)).cast("int")
+
+
+def rank_features(
+    df: DataFrame,
+    metric_cols: list[str],
+    period_cols: list[str],
+    descending: bool = True,
+    net_pairs: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Attach ``{m}_rank`` per metric over each period partition, plus
+    composite ``net_rank``-style means of rank pairs
+    (reference: net_rank = (offensive_rank + defensive_rank)/2, verified)."""
+    cols = {f"{m}_rank": max_rank(m, period_cols, descending) for m in metric_cols}
+    df = df.withColumns(cols)
+    for out, (a, b) in (net_pairs or {}).items():
+        df = df.withColumn(out, (F.col(a) + F.col(b)) / F.lit(2.0))
+    return df

@@ -1,0 +1,123 @@
+"""Strictly-past-only window-family compiler — the engine's core.
+
+The reference hardcodes 59 player stats x {last, form_3, season_avg}
+(verified semantics: SURVEY.md §2.5 W1-W3, reverse-engineered from
+/root/reference/data/feature_store/player/off/** vs data/pump/player/game/**)
+and ~190 team metrics x {strict expanding, ewm_10, roll_10} (W4-W6, from
+data/feature_store/event/**). This module compiles an arbitrary metric list
+into those families as Spark window expressions:
+
+* ``last_{m}``        — ``lag(m, 1)``                                (W1)
+* ``form_{m}``        — mean of previous <=3 rows ``rowsBetween(-3,-1)`` (W2;
+  the reference's dictionary says window 5, its data says 3 — data wins)
+* ``roll{k}_{m}``     — mean of previous <=k rows ``rowsBetween(-k,-1)`` (W6)
+* ``expanding_{m}``   — ``avg over rowsBetween(unboundedPreceding, -1)`` (W4,
+  the north rule's literal frame)
+* ``session_avg_{m}`` — period-anchored expanding mean with the verified
+  two-anchor rule (W3): for a non-first turn of session s the window anchors
+  at s's first turn; for the FIRST turn of session s it anchors at session
+  s-1's first turn (prior-period prior). NULL when no prior turn exists.
+
+Zero temporal leakage is the invariant: every feature at row t is a function
+of rows strictly before t. All families share one
+``partitionBy(entity).orderBy(ts, turn_idx)`` sort so Catalyst plans a single
+exchange; the session-anchored family sub-partitions by (entity, anchor),
+which hash-partitioning on entity already satisfies (ClusteredDistribution
+subset rule) — one extra sort, no extra shuffle.
+
+Scale notes (10^12 turns): the entity window shuffle is hash(conv_id); skewed
+conversations are bounded by max_turns (~5k) so a single window partition is
+small — skew handling matters for the rank pass (global per-ts-bucket), not
+here. For pathological single-entity streams see operators/salted.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window, WindowSpec
+
+
+@dataclass(frozen=True)
+class FeatureSpec:
+    """Declarative feature configuration — the engine-level replacement for
+    the reference's hardcoded stat lists (reference
+    src/pipelines/players/player_regular_season_game.py:17-18 invoking
+    WeeklyPlayerStatComponent over its 59-stat list)."""
+
+    entity_col: str = "conv_id"
+    order_cols: tuple[str, ...] = ("ts", "turn_idx")
+    metrics: tuple[str, ...] = ("chars", "words", "is_tool")
+    lag: bool = True
+    form_window: int | None = 3
+    roll_windows: tuple[int, ...] = (10,)
+    expanding: bool = True
+    session_anchored: bool = True
+    session_col: str = "session_id"
+    protected_metrics: tuple[str, ...] = ()  # stay NULL, never zero-filled (P9 analog)
+
+
+def _entity_window(spec: FeatureSpec) -> WindowSpec:
+    return Window.partitionBy(spec.entity_col).orderBy(*[F.col(c) for c in spec.order_cols])
+
+
+def compile_window_features(df: DataFrame, spec: FeatureSpec = FeatureSpec()) -> DataFrame:
+    """Attach every configured window family for every metric.
+
+    Returns the input plus ``last_/form_/roll{k}_/expanding_/session_avg_``
+    columns per metric. EWM (W5) and Elo (W9) are sequential recurrences and
+    live in operators/ewma.py / operators/elo.py (applyInPandas kernels).
+    """
+    w = _entity_window(spec)
+    cols: dict[str, Column] = {}
+
+    for m in spec.metrics:
+        lag1 = F.lag(F.col(m).cast("double"), 1).over(w)
+        # materialize the lag once per metric; downstream frames average it
+        cols[f"__x_{m}"] = lag1
+
+    df = df.withColumns(cols)
+    cols = {}
+
+    for m in spec.metrics:
+        x = F.col(f"__x_{m}")
+        if spec.lag:
+            cols[f"last_{m}"] = x
+        if spec.form_window:
+            k = spec.form_window
+            cols[f"form_{m}"] = F.avg(F.col(m).cast("double")).over(w.rowsBetween(-k, -1))
+        for k in spec.roll_windows:
+            cols[f"roll{k}_{m}"] = F.avg(F.col(m).cast("double")).over(w.rowsBetween(-k, -1))
+        if spec.expanding:
+            cols[f"expanding_{m}"] = F.avg(F.col(m).cast("double")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            )
+
+    if spec.session_anchored:
+        # two-anchor rule (W3): first turn of a session anchors one session back
+        first_of_session = (
+            F.row_number().over(
+                Window.partitionBy(spec.entity_col, spec.session_col).orderBy(
+                    *[F.col(c) for c in spec.order_cols]
+                )
+            )
+            == 1
+        )
+        anchor = F.when(first_of_session, F.col(spec.session_col) - 1).otherwise(
+            F.col(spec.session_col)
+        )
+        df = df.withColumn("__anchor", anchor)
+        wa = Window.partitionBy(spec.entity_col, "__anchor").orderBy(
+            *[F.col(c) for c in spec.order_cols]
+        )
+        for m in spec.metrics:
+            # frame includes the current row because the averaged series is
+            # already lag-1 shifted — strictly-past despite the 0 bound
+            cols[f"session_avg_{m}"] = F.avg(F.col(f"__x_{m}")).over(
+                wa.rowsBetween(Window.unboundedPreceding, 0)
+            )
+
+    df = df.withColumns(cols)
+    return df.drop("__anchor", *[f"__x_{m}" for m in spec.metrics])

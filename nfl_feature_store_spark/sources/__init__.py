@@ -1,0 +1,16 @@
+from nfl_feature_store_spark.sources.transcripts import (
+    TRANSCRIPT_SCHEMA,
+    gen_transcripts_distributed,
+    gen_transcripts_pdf,
+    transcripts_from_pandas,
+)
+from nfl_feature_store_spark.sources.tables import load_table, register_views
+
+__all__ = [
+    "TRANSCRIPT_SCHEMA",
+    "gen_transcripts_pdf",
+    "gen_transcripts_distributed",
+    "transcripts_from_pandas",
+    "load_table",
+    "register_views",
+]
