@@ -1,0 +1,164 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all shuffle-conscious:
+
+* exact: hash-groupBy on a normalized-text fingerprint (md5) — one shuffle.
+* MinHash + LSH: shingle → k minhashes → b bands → bucket self-join; only
+  documents sharing a band bucket are compared, so the candidate join is
+  linear in bucket occupancy, not quadratic in corpus size — THE scale path
+  for near-dup at 10^12 docs.
+* SimHash: 64-bit token-vote fingerprint; near-dups have small Hamming
+  distance; bucketable by fingerprint prefix.
+* embedding cosine near-dup: see operators/similarity.py.
+
+All hashes are xxhash64 (JVM built-in, whole-stage codegen) — deterministic
+across runs/partitionings but engine-specific, so these are rows-only checks
+in the driver contract (no ANSI oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest id per normalized-text fingerprint."""
+    from nfl_feature_store_spark.functions.text import doc_fingerprint
+
+    fp = df.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+    return fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+def _shingles(text_col: str, k: int = 5):
+    """Distinct k-gram character shingles of the lowercased text."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length(lower({text_col})) - {k - 1}, 1)),"
+            f" i -> substring(lower({text_col}), i, {k}))"
+        )
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_k: int = 5) -> DataFrame:
+    """(id, sig: array<bigint>) — per-document MinHash signature.
+
+    minhash_j(doc) = min over shingles s of xxhash64(s, j): computed entirely
+    with built-in higher-order array functions (transform + array_min), no
+    explode, no UDF — one narrow projection per document.
+    """
+    sig = F.array(
+        *[
+            F.array_min(F.expr(f"transform(__sh, s -> xxhash64(s, {j}))"))
+            for j in range(num_hashes)
+        ]
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), _shingles(text_col, shingle_k).alias("__sh"))
+        .select("id", sig.alias("sig"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded LSH over MinHash signatures.
+
+    Documents agreeing on ALL rows of any band land in the same bucket;
+    the self-join happens per bucket (groupBy bucket → pair expansion), so
+    cost is sum over buckets of |bucket|^2 — bounded by hot-bucket size, and
+    salted AQE handles stragglers. Returns distinct (id_a < id_b) pairs with
+    the fraction of matching minhashes as an estimated Jaccard.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_k)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.slice("sig", b * rows + 1, rows).cast("array<string>").cast("string")).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    exploded = sigs.select("id", "sig", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                F.size(F.arrays_zip(F.col("a.sig"), F.col("b.sig")))
+                - F.size(
+                    F.filter(
+                        F.arrays_zip(F.col("a.sig").alias("x"), F.col("b.sig").alias("y")),
+                        lambda s: s["x"] != s["y"],
+                    )
+                )
+            ).alias("n_match"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "id_a", "id_b", (F.col("n_match") / F.lit(num_hashes)).alias("est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: whitespace tokens vote per bit position
+    of their xxhash64; fingerprint bit = sign of the vote sum.
+
+    Pure column algebra (aggregate over the token array with a 64-element
+    vote vector) — no explode, no shuffle, no UDF.
+    """
+    tokens = F.expr(f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')")
+    votes = F.expr(
+        """
+        aggregate(
+          transform(filter(split(lower(text), '\\\\s+'), t -> t != ''), t -> xxhash64(t)),
+          array_repeat(0L, 64),
+          (acc, h) -> zip_with(acc, sequence(0, 63),
+                               (a, i) -> a + CASE WHEN ((h >> i) & 1L) = 1L THEN 1L ELSE -1L END)
+        )
+        """.replace("text", text_col)
+    )
+    bits = F.expr(
+        "aggregate(zip_with(__votes, sequence(0, 63), (v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, cast(i AS int)) ELSE 0L END),"
+        " 0L, (acc, x) -> acc | x)"
+    )
+    out = df.select(F.col(id_col), tokens.alias("__toks"), votes.alias("__votes"))
+    return out.select(F.col(id_col), bits.alias("simhash64"), F.size("__toks").alias("n_tokens"))
+
+
+def simhash_near_pairs(fingerprints: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
+    """Candidate near-dup pairs among SimHash fingerprints sharing a
+    ``prefix_bits`` bucket, filtered by exact Hamming distance."""
+    bucketed = fingerprints.withColumn(
+        "bucket", F.shiftright(F.col("simhash64"), 64 - prefix_bits)
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    ham = F.bit_count(F.col("a.simhash64").bitwiseXOR(F.col("b.simhash64")))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -34,7 +34,10 @@ def sessionize(
     first turn.
     """
     w = Window.partitionBy(entity_col).orderBy(*[F.col(c) for c in order_cols])
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long"), 1).over(w)
+    # cast via TIMESTAMP so TIMESTAMP_NTZ parquet columns (pandas-written)
+    # also yield epoch seconds; session tz is UTC so the two types agree
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch, 1).over(w)
     df = df.withColumn("gap_secs", F.coalesce(gap, F.lit(0)).cast("long"))
     boundary = F.when(F.col("gap_secs") > gap_s, F.lit(1)).otherwise(F.lit(0))
     running = Window.partitionBy(entity_col).orderBy(*[F.col(c) for c in order_cols]).rowsBetween(

@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`cosine_topk` — exact brute-force top-k: query set broadcast against
+  the corpus, dot products via zip_with/aggregate (JVM higher-order
+  functions, no Python), per-query top-k via window. The baseline every
+  approximate method is measured against.
+* :func:`lsh_topk` — random-hyperplane (sign-LSH) bucketed variant: corpus
+  hashed once into 2^bits buckets; each query probes only its own bucket
+  (plus optional multi-probe neighbors) — the scale path: candidate set per
+  query is |corpus| / 2^bits on average, and the expensive exact rerank runs
+  only on candidates.
+
+Hyperplanes are deterministic pseudo-random vectors derived from xxhash64 of
+(plane index, dimension index) — reproducible across runs with no driver-side
+randomness, so results are stable under repartitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(col: str):
+    return F.expr(f"transform({col}, x -> cast(x AS double))")
+
+
+def _norm(col: str):
+    return F.sqrt(F.expr(f"aggregate(zip_with({col}, {col}, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    ``queries`` is broadcast (the query set is small by construction); the
+    corpus streams through one stage — no shuffle until the final per-query
+    window over k*|queries| rows.
+    """
+    c = corpus.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")).withColumn(
+        "cn", _norm("cv")
+    )
+    q = queries.select(F.col(query_id_col).alias("qid"), _as_double(vec_col).alias("qv")).withColumn(
+        "qn", _norm("qv")
+    )
+    dot = F.expr("aggregate(zip_with(qv, cv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", F.col("cid").alias("neighbor_id"), (dot / (F.col("qn") * F.col("cn"))).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def _hyperplane_sign(vec_col: str, plane: int) -> F.Column:
+    """Sign of <v, h_plane> where h_plane[d] is a deterministic pseudo-random
+    value in [-1, 1) derived from xxhash64(plane, d)."""
+    return (
+        F.expr(
+            f"""
+            aggregate(
+              zip_with({vec_col}, sequence(0, size({vec_col}) - 1),
+                       (x, d) -> x * (cast(pmod(xxhash64({plane}, d), 2000001) AS double) / 1000000.0 - 1.0)),
+              0D, (acc, x) -> acc + x)
+            """
+        )
+        > 0
+    ).cast("int")
+
+
+def lsh_bucket(vec_col: str, bits: int = 8) -> F.Column:
+    """Sign-LSH bucket id in [0, 2^bits) for an array<double> column."""
+    b = F.lit(0)
+    for p in range(bits):
+        b = b * 2 + _hyperplane_sign(vec_col, p)
+    return b
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Approximate top-k: exact cosine rerank within the query's LSH bucket.
+
+    Co-partitioned equi-join on bucket replaces the cross join — candidate
+    volume drops by ~2^bits; recall is tunable via ``bits`` (fewer bits =
+    bigger buckets = higher recall, more compute).
+    """
+    c = (
+        corpus.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
+        .withColumn("cn", _norm("cv"))
+        .withColumn("bucket", lsh_bucket("cv", bits))
+    )
+    q = (
+        queries.select(F.col(query_id_col).alias("qid"), _as_double(vec_col).alias("qv"))
+        .withColumn("qn", _norm("qv"))
+        .withColumn("bucket", lsh_bucket("qv", bits))
+    )
+    dot = F.expr("aggregate(zip_with(qv, cv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", F.col("cid").alias("neighbor_id"), (dot / (F.col("qn") * F.col("cn"))).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

@@ -1,0 +1,844 @@
+"""Query registry: one entry per implemented operator (SURVEY.md §2),
+each as a (PySpark DataFrame builder, DuckDB oracle SQL) pair.
+
+The round driver executes every Spark query at sf=0.01 and compares
+row-count + schema + order-insensitive value hash against the oracle SQL run
+by DuckDB over the same parquet tables. Conventions that keep the two sides
+hash-identical:
+
+* every computed column is aliased to the SAME name on both sides;
+* post-aggregation doubles are ``floor((x) * 100 + 0.5) / 100`` for money-scale sums and
+  ``floor((x) * 1000000 + 0.5) / 1000000`` for means/ratios, so partial-aggregation order can't leak
+  into the hash;
+* counts/ranks are BIGINT on both sides (Spark ``cast("long")``);
+* window orderings always carry a unique tie-break key (event_id, doc_id...)
+  so results are deterministic under any partitioning.
+
+Rows-only entries (EWMA, Elo, MinHash-LSH, SimHash) have no SQL oracle —
+the recursion/hash choices aren't ANSI-SQL-expressible — and are covered by
+the pandas-referee pytest suite instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nfl_feature_store_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------- helpers
+
+
+def _events_window():
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+def _r(col, digits: int):
+    """Portable deterministic rounding: floor(x * 10^d + 0.5) / 10^d.
+
+    Spark's round() (BigDecimal HALF_UP on the double's exact binary value)
+    and DuckDB's round() disagree at exact half-boundaries, which the
+    synthetic data's terminating decimals hit often. Expressing the rounding
+    as identical double arithmetic on both sides makes the discrete function
+    engine-independent; oracle SQL uses the same floor formula.
+    """
+    scale = float(10 ** digits)
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * scale + F.lit(0.5)) / scale
+
+
+def _cents(col):
+    """Exact integer recovery of a 2-decimal double (value * 100 as BIGINT).
+
+    Sums/means over these are integer-exact and therefore bit-identical
+    across engines regardless of summation order — the fix for 1-ulp
+    disagreements between Spark's and DuckDB's window-mean accumulation at
+    half-boundary values (events.value has 2 decimals)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 100.0 + F.lit(0.5)).cast("long")
+
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """A1/A8: hash group-agg with conditional sums (reference
+    src/pumps/player_game.py:133-150 lane pattern) — TPC-H Q1 shape."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            _r(F.avg("l_quantity"), 6).alias("avg_qty"),
+            _r(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+            F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).cast("long").alias("deep_disc_items"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       floor((sum(l_quantity)) * 100 + 0.5) / 100                          AS sum_qty,
+       floor((sum(l_extendedprice)) * 100 + 0.5) / 100                     AS sum_base_price,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100  AS sum_disc_price,
+       floor((avg(l_quantity)) * 1000000 + 0.5) / 1000000                          AS avg_qty,
+       floor((avg(l_discount)) * 1000000 + 0.5) / 1000000                          AS avg_disc,
+       count(*)                                           AS count_order,
+       sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS deep_disc_items
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    """P1-P3: predicate filter + projection, pushed to the parquet scan."""
+    li = load_table(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-06-01").cast("timestamp"))
+        & (F.col("l_discount") > 0.05)
+        & F.col("l_returnflag").isin("A", "R")
+    ).select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+
+
+Q02_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_discount > 0.05
+  AND l_returnflag IN ('A', 'R')
+"""
+
+
+def q03_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """J7: dimension-enrichment joins, small sides broadcast."""
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            _r(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+Q03_SQL = """
+SELECT n_name, floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q04_full_outer_lanes(spark: SparkSession, sf: str) -> DataFrame:
+    """J1: full-outer merge of two aggregation lanes (reference
+    src/pumps/player_game.py:184-188 pass ⟗ 2pt-pass)."""
+    orders = load_table(spark, sf, "orders")
+    lane_o = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("open_orders"))
+    )
+    lane_f = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("filled_orders"))
+    )
+    return (
+        lane_o.join(lane_f, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            F.coalesce("open_orders", F.lit(0)).alias("open_orders"),
+            F.coalesce("filled_orders", F.lit(0)).alias("filled_orders"),
+        )
+    )
+
+
+Q04_SQL = """
+SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+       coalesce(a.open_orders, 0)  AS open_orders,
+       coalesce(b.filled_orders, 0) AS filled_orders
+FROM (SELECT o_custkey, count(*) AS open_orders  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) a
+FULL OUTER JOIN
+     (SELECT o_custkey, count(*) AS filled_orders FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) b
+USING (o_custkey)
+"""
+
+
+def q05_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J9 done right: tuple-wise left-semi join (the reference's isin matched
+    key columns independently — src/pumps/player_game.py:242-246)."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    big = orders.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+Q05_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+"""
+
+
+def q06_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Anti-join (complement of P4's predicate-based inference filter)."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return cust.join(
+        orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+Q06_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q07_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """P6/A9: dedup-project (reference drop_duplicates on season/week/type)."""
+    orders = load_table(spark, sf, "orders")
+    return orders.select("o_orderpriority", "o_orderstatus").distinct()
+
+
+Q07_SQL = "SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders"
+
+
+def q08_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """A5: deterministic mode UDAF analog (reference custom_mode,
+    src/pumps/player_game.py:33-46; tie-break = lexicographically first)."""
+    ev = load_table(spark, sf, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event_type"), F.col("cnt").alias("mode_count"))
+    )
+
+
+Q08_SQL = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn
+  FROM counts
+)
+SELECT user_id, event_type AS mode_event_type, cnt AS mode_count FROM ranked WHERE rn = 1
+"""
+
+
+def q09_lag(spark: SparkSession, sf: str) -> DataFrame:
+    """W1: lag-1 shift feature over the entity's full ordered history."""
+    ev = load_table(spark, sf, "events")
+    return ev.select(
+        "event_id", "user_id", F.lag("value", 1).over(_events_window()).alias("last_value")
+    )
+
+
+Q09_SQL = """
+SELECT event_id, user_id,
+       lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS last_value
+FROM events
+"""
+
+
+def _exact_windowed_mean(ev: DataFrame, lo, alias: str) -> DataFrame:
+    """Strictly-past windowed mean of ``value`` computed over exact
+    scale-100 integers (engine-portable bit-for-bit; see _cents)."""
+    ev = ev.withColumn("v2", _cents("value"))
+    frame = _events_window().rowsBetween(lo, -1)
+    mean = F.sum("v2").over(frame).cast("double") / F.count("v2").over(frame) / 100.0
+    return ev.select("event_id", _r(mean, 6).alias(alias))
+
+
+def _exact_mean_sql(frame_sql: str, alias: str) -> str:
+    return f"""
+WITH s AS (SELECT event_id, user_id, ts, floor(value * 100 + 0.5)::BIGINT AS v2 FROM events)
+SELECT event_id,
+       floor((sum(v2) OVER f)::DOUBLE / (count(v2) OVER f) / 100.0 * 1000000 + 0.5) / 1000000 AS {alias}
+FROM s WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id {frame_sql})
+"""
+
+
+def q10_form3(spark: SparkSession, sf: str) -> DataFrame:
+    """W2: rolling mean of the previous <=3 rows (verified window 3)."""
+    return _exact_windowed_mean(load_table(spark, sf, "events"), -3, "form_value")
+
+
+Q10_SQL = _exact_mean_sql("ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING", "form_value")
+
+
+def q11_expanding(spark: SparkSession, sf: str) -> DataFrame:
+    """W4: strict expanding mean — the north rule's
+    rowsBetween(unboundedPreceding, -1) frame, literally."""
+    return _exact_windowed_mean(
+        load_table(spark, sf, "events"), Window.unboundedPreceding, "expanding_value"
+    )
+
+
+Q11_SQL = _exact_mean_sql("ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING", "expanding_value")
+
+
+def q12_roll10(spark: SparkSession, sf: str) -> DataFrame:
+    """W6: rolling-10 strictly-past mean (reference rolling_spread_cover)."""
+    return _exact_windowed_mean(load_table(spark, sf, "events"), -10, "roll10_value")
+
+
+Q12_SQL = _exact_mean_sql("ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING", "roll10_value")
+
+
+def q13_rank_max(spark: SparkSession, sf: str) -> DataFrame:
+    """W7: pandas method='max' descending rank (tied group takes the worst
+    position; verified five-way-tie behavior) as a RANGE-frame count."""
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("value").desc())
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select("event_id", "event_type", F.count("value").over(w).alias("value_rank"))
+
+
+Q13_SQL = """
+SELECT event_id, event_type,
+       count(value) OVER (PARTITION BY event_type ORDER BY value DESC
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_rank
+FROM events
+"""
+
+
+def q14_gap_secs(spark: SparkSession, sf: str) -> DataFrame:
+    """W8: seconds since the entity's previous event, 0 at the first
+    (reference 'rest' — week-1 rows default)."""
+    ev = load_table(spark, sf, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch, 1).over(_events_window())
+    return ev.select("event_id", F.coalesce(gap, F.lit(0)).alias("gap_secs"))
+
+
+Q14_SQL = """
+SELECT event_id,
+       coalesce(date_diff('second', lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts), 0) AS gap_secs
+FROM events
+"""
+
+
+def q15_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.9: gap-based sessionizer (gap > 1 day ⇒ new session)."""
+    from nfl_feature_store_spark.operators.sessionize import sessionize
+
+    ev = load_table(spark, sf, "events")
+    out = sessionize(
+        ev, entity_col="user_id", ts_col="ts", order_cols=("ts", "event_id"), gap_s=86400
+    )
+    return out.select("event_id", F.col("gap_secs").alias("gap_s"), F.col("session_id").cast("long").alias("session_id"))
+
+
+Q15_SQL = """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         coalesce(date_diff('second', lag(ts,1) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts), 0) AS gap_s
+  FROM events
+)
+SELECT event_id, gap_s,
+       sum(CASE WHEN gap_s > 86400 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+FROM g
+"""
+
+
+def q16_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J6 generalized: sort-merge as-of backfill join — every click gets the
+    user's latest purchase value as of its timestamp (union +
+    last(ignorenulls) window, no join; see operators/asof.py)."""
+    from nfl_feature_store_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf, "events")
+    feats = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    probes = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("probe_ts"), "event_id"
+    )
+    out = asof_join(
+        feats, probes, entity_col="user_id", ts_col="ts", probe_ts_col="probe_ts",
+        feature_cols=["purchase_value"], inclusive=True,
+    )
+    return out.select("event_id", "user_id", _r("purchase_value", 6).alias("asof_purchase_value"))
+
+
+Q16_SQL = """
+WITH feats AS (
+  SELECT user_id, ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), probes AS (
+  SELECT user_id, ts AS probe_ts, event_id FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, floor((f.purchase_value) * 1000000 + 0.5) / 1000000 AS asof_purchase_value
+FROM probes p ASOF LEFT JOIN feats f
+  ON p.user_id = f.user_id AND p.probe_ts >= f.ts
+"""
+
+
+def q17_latest_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """A10/O2: latest row per entity (reference groupby('team').nth(-1))."""
+    from nfl_feature_store_spark.operators.asof import latest_snapshot
+
+    ev = load_table(spark, sf, "events")
+    out = latest_snapshot(ev, entity_col="user_id", order_cols=("ts", "event_id"))
+    return out.select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").cast("long").alias("ts_epoch"), "value"
+    )
+
+
+Q17_SQL = """
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS ts_epoch, value FROM r WHERE rn = 1
+"""
+
+
+def q18_union(spark: SparkSession, sf: str) -> DataFrame:
+    """U1/U2: union-all of heterogeneous subsets by name."""
+    ev = load_table(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "click").select("event_id", F.lit("c").alias("src"))
+    b = ev.filter(F.col("event_type") == "error").select("event_id", F.lit("e").alias("src"))
+    return a.unionByName(b)
+
+
+Q18_SQL = """
+SELECT event_id, 'c' AS src FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT event_id, 'e' AS src FROM events WHERE event_type = 'error'
+"""
+
+
+def q19_ratio_guards(spark: SparkSession, sf: str) -> DataFrame:
+    """F3/F4: guarded ratios + linear score (reference pacr/racr guards and
+    fantasy-points form, src/pumps/player_game.py:152-157,538-548)."""
+    li = load_table(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _r(
+            F.when(F.col("l_quantity") > 0, disc_price / F.col("l_quantity")).otherwise(F.lit(None)),
+            6,
+        ).alias("unit_net_price"),
+        _r(1.5 * F.col("l_discount") + 0.7 * F.col("l_tax"), 6).alias("combo_score"),
+    )
+
+
+Q19_SQL = """
+SELECT l_orderkey, l_linenumber,
+       floor((CASE WHEN l_quantity > 0
+                  THEN l_extendedprice * (1 - l_discount) / l_quantity END) * 1000000 + 0.5) / 1000000 AS unit_net_price,
+       floor((1.5 * l_discount + 0.7 * l_tax) * 1000000 + 0.5) / 1000000 AS combo_score
+FROM lineitem
+"""
+
+
+def q20_double_role_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J5: the same dimension joined under two roles with prefixed columns
+    (reference home/away double self-join,
+    event_regular_season_game.py:23-40) — supplier-nation vs customer-nation."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q20_SQL = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q21_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint: keep min doc_id per
+    md5(ws-normalized lowercase text)."""
+    from nfl_feature_store_spark.functions.text import doc_fingerprint
+
+    docs = load_table(spark, sf, "documents")
+    fp = docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+    return fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+Q21_SQL = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q22_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Text quality scoring: token count, char-class ratios, stopword ratio."""
+    docs = load_table(spark, sf, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    n = F.length(t).cast("double")
+    tokens = (
+        F.when(F.length(F.trim(t)) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(t), r"\s+")))
+        .cast("long")
+    )
+    alpha = (n - F.length(F.regexp_replace(t, "[a-zA-Z]", ""))).cast("double")
+    stop = F.size(F.regexp_extract_all(F.lower(t), F.lit(r"\b(the|and|of|is|that)\b"), 0)).cast("double")
+    return docs.select(
+        "doc_id",
+        tokens.alias("n_tokens"),
+        _r(F.when(n > 0, alpha / n).otherwise(0.0), 6).alias("alpha_ratio"),
+        _r(F.when(tokens > 0, stop / tokens).otherwise(0.0), 6).alias("stopword_ratio"),
+    )
+
+
+Q22_SQL = """
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens,
+       floor((CASE WHEN length(text) > 0
+             THEN (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE / length(text)
+             ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS alpha_ratio,
+       floor((CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) > 0
+             THEN len(regexp_extract_all(lower(text), '\\b(the|and|of|is|that)\\b'))::DOUBLE
+                  / (CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+             ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS stopword_ratio
+FROM documents
+"""
+
+
+def q23_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic language ID (stopword-marker argmax, tie → lang asc)."""
+    from nfl_feature_store_spark.functions.text import lang_id_expr
+
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", lang_id_expr("text").alias("lang_pred"))
+
+
+Q23_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '\\b(der|die|und|ist|nicht)\\b')) AS de,
+         len(regexp_extract_all(lower(text), '\\b(the|and|of|is|that)\\b'))    AS en,
+         len(regexp_extract_all(lower(text), '\\b(el|la|los|que|y)\\b'))       AS es,
+         len(regexp_extract_all(lower(text), '\\b(le|les|des|est|une)\\b'))    AS fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+            WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+            WHEN en >= es AND en >= fr THEN 'en'
+            WHEN es >= fr THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM c
+"""
+
+
+def q24_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup detection: 3-gram character-shingle Jaccard over candidate
+    pairs that share >=1 shingle (bounded to doc_id < 300 so the pairwise
+    stage is scale-independent)."""
+    docs = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", F.lower(F.col("text")).alias("t"))
+    )
+    shingles = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr("transform(sequence(1, greatest(length(t) - 2, 1)), i -> substring(t, i, 3))")
+            )
+        ).alias("g"),
+    )
+    counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", _r(jac, 6).alias("jaccard"))
+    )
+
+
+Q24_SQL = """
+WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 300),
+sh AS (SELECT DISTINCT doc_id, substr(t, i, 3) AS g
+       FROM d, unnest(generate_series(1, greatest(length(t) - 2, 1))) AS u(i)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       floor((inter::DOUBLE / (ca.n + cb.n - inter)) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.5
+"""
+
+
+def q25_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k neighbor search over the embedding column —
+    the exact ANN baseline (query set broadcast against the corpus)."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("v")
+    )
+    norm = F.sqrt(F.expr("aggregate(zip_with(v, v, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+    emb = emb.withColumn("nrm", norm)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    joined = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+    dot = F.expr("aggregate(zip_with(qv, v, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
+    sim = _r(dot / (F.col("qn") * F.col("nrm")), 6)
+    scored = joined.select("qid", F.col("vec_id").alias("neighbor_id"), sim.alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "neighbor_id", "rnk", "cosine")
+    )
+
+
+Q25_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+s AS (SELECT q.qid, c.vec_id AS neighbor_id,
+             floor((list_dot_product(q.qv, c.v) / (q.qn * c.nrm)) * 1000000 + 0.5) / 1000000 AS cosine
+      FROM q, n c WHERE c.vec_id != q.qid),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM s)
+SELECT qid, neighbor_id, rnk, cosine FROM r WHERE rnk <= 3
+"""
+
+
+def q26_null_preserving_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """A6: min_count=1 analog — all-NULL groups stay NULL, not 0."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        _r(F.sum(F.when(F.col("value") > 95, F.col("value"))), 6).alias("big_value_sum")
+    )
+
+
+Q26_SQL = """
+SELECT user_id, event_type,
+       floor((sum(CASE WHEN value > 95 THEN value END)) * 1000000 + 0.5) / 1000000 AS big_value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def q27_session_avg_two_anchor(spark: SparkSession, sf: str) -> DataFrame:
+    """W3: period-anchored expanding mean with the verified two-anchor rule
+    (first turn of period k anchors at period k-1's start) — the hardest
+    verified reference semantic, on the events stream."""
+    from nfl_feature_store_spark.operators.sessionize import sessionize
+
+    ev = load_table(spark, sf, "events")
+    df = sessionize(ev, entity_col="user_id", ts_col="ts", order_cols=("ts", "event_id"), gap_s=86400)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    df = df.withColumn("x2", F.lag(_cents("value"), 1).over(w))
+    first = F.row_number().over(
+        Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    ) == 1
+    df = df.withColumn("anchor", F.when(first, F.col("session_id") - 1).otherwise(F.col("session_id")))
+    wa = (
+        Window.partitionBy("user_id", "anchor")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mean = F.sum("x2").over(wa).cast("double") / F.count("x2").over(wa) / 100.0
+    return df.select("event_id", _r(mean, 6).alias("session_avg_value"))
+
+
+Q27_SQL = """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         coalesce(date_diff('second', lag(ts,1) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts), 0) AS gap_s,
+         lag(floor(value * 100 + 0.5)::BIGINT, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x2
+  FROM events
+), s AS (
+  SELECT *, sum(CASE WHEN gap_s > 86400 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+), a AS (
+  SELECT *, session_id - CASE WHEN row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) = 1
+                              THEN 1 ELSE 0 END AS anchor
+  FROM s
+)
+SELECT event_id,
+       floor((sum(x2) OVER w)::DOUBLE / (count(x2) OVER w) / 100.0 * 1000000 + 0.5) / 1000000 AS session_avg_value
+FROM a WINDOW w AS (PARTITION BY user_id, anchor ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+"""
+
+
+# ----------------------------------------------------- rows-only queries
+# (genuinely non-ANSI-SQL-expressible: unbounded recursions / hash-family
+#  choices; covered by the pandas-referee pytest suite instead)
+
+
+def q28_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """W5: span-10 adjust=False EWM of the lag-1 series per entity
+    (applyInPandas kernel — unbounded recursion, no SQL frame)."""
+    from nfl_feature_store_spark.operators.ewma import with_ewma
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts", "value")
+    out = with_ewma(
+        ev, metrics=("value",), span=10, entity_col="user_id", order_cols=("ts", "event_id")
+    )
+    return out.select("event_id", _r("ewma_value", 6).alias("ewma_value"))
+
+
+def q29_elo(spark: SparkSession, sf: str) -> DataFrame:
+    """W9: Elo-style cumulative rating per entity (K=20, init 1500); outcome =
+    event value beats the entity's previous value."""
+    from nfl_feature_store_spark.operators.elo import elo_per_entity
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = ev.withColumn(
+        "outcome",
+        F.when(F.lag("value", 1).over(w).isNull(), F.lit(None))
+        .when(F.col("value") > F.lag("value", 1).over(w), 1.0)
+        .otherwise(0.0),
+    )
+    out = elo_per_entity(ev, outcome_col="outcome", entity_col="user_id", order_cols=("ts", "event_id"))
+    return out.select("event_id", _r("elo_pre", 6).alias("elo_pre"))
+
+
+def q30_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (shingle → 16 minhashes → 4 bands →
+    bucket join). Hash family is xxhash64 — not SQL-portable, rows-only."""
+    from nfl_feature_store_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 1000)
+    return minhash_lsh_candidates(docs, id_col="doc_id", text_col="text")
+
+
+def q31_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash 64-bit fingerprint per document (token-hash bit voting)."""
+    from nfl_feature_store_spark.operators.dedup import simhash
+
+    docs = load_table(spark, sf, "documents")
+    return simhash(docs, id_col="doc_id", text_col="text")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_filter_project": q02_filter_project,
+    "q03_revenue_by_nation": q03_revenue_by_nation,
+    "q04_full_outer_lanes": q04_full_outer_lanes,
+    "q05_semi_join": q05_semi_join,
+    "q06_anti_join": q06_anti_join,
+    "q07_distinct": q07_distinct,
+    "q08_mode": q08_mode,
+    "q09_lag": q09_lag,
+    "q10_form3": q10_form3,
+    "q11_expanding": q11_expanding,
+    "q12_roll10": q12_roll10,
+    "q13_rank_max": q13_rank_max,
+    "q14_gap_secs": q14_gap_secs,
+    "q15_sessionize": q15_sessionize,
+    "q16_asof_join": q16_asof_join,
+    "q17_latest_snapshot": q17_latest_snapshot,
+    "q18_union": q18_union,
+    "q19_ratio_guards": q19_ratio_guards,
+    "q20_double_role_join": q20_double_role_join,
+    "q21_exact_dedup": q21_exact_dedup,
+    "q22_text_quality": q22_text_quality,
+    "q23_lang_id": q23_lang_id,
+    "q24_ngram_jaccard": q24_ngram_jaccard,
+    "q25_cosine_topk": q25_cosine_topk,
+    "q26_null_preserving_sum": q26_null_preserving_sum,
+    "q27_session_avg_two_anchor": q27_session_avg_two_anchor,
+    "q28_ewma": q28_ewma,
+    "q29_elo": q29_elo,
+    "q30_minhash_dedup": q30_minhash_dedup,
+    "q31_simhash": q31_simhash,
+}
+
+ORACLES: dict[str, str] = {
+    "q01_pricing_summary": Q01_SQL,
+    "q02_filter_project": Q02_SQL,
+    "q03_revenue_by_nation": Q03_SQL,
+    "q04_full_outer_lanes": Q04_SQL,
+    "q05_semi_join": Q05_SQL,
+    "q06_anti_join": Q06_SQL,
+    "q07_distinct": Q07_SQL,
+    "q08_mode": Q08_SQL,
+    "q09_lag": Q09_SQL,
+    "q10_form3": Q10_SQL,
+    "q11_expanding": Q11_SQL,
+    "q12_roll10": Q12_SQL,
+    "q13_rank_max": Q13_SQL,
+    "q14_gap_secs": Q14_SQL,
+    "q15_sessionize": Q15_SQL,
+    "q16_asof_join": Q16_SQL,
+    "q17_latest_snapshot": Q17_SQL,
+    "q18_union": Q18_SQL,
+    "q19_ratio_guards": Q19_SQL,
+    "q20_double_role_join": Q20_SQL,
+    "q21_exact_dedup": Q21_SQL,
+    "q22_text_quality": Q22_SQL,
+    "q23_lang_id": Q23_SQL,
+    "q24_ngram_jaccard": Q24_SQL,
+    "q25_cosine_topk": Q25_SQL,
+    "q26_null_preserving_sum": Q26_SQL,
+    "q27_session_avg_two_anchor": Q27_SQL,
+    # q28-q31: rows-only (sequential recursions / engine-specific hash families)
+}
