@@ -1,0 +1,212 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Default mode (what the round driver runs): executes the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "headline_total_sec", "value": N, "unit": "sec",
+     "queries": {"flagship_backfill": sec, ...}, "sf": 0.1,
+     "backfill_turns_per_sec": N, "cores": 32}
+
+Scaling mode (``--scaling``): generates a deterministic ~2M-turn transcript
+corpus once, then runs the flagship backfill in two SEPARATE JVMs at
+local[8] and local[32] (N and 4N cores — the sandbox stand-in for N vs 4N
+executors, per BASELINE.md), reports throughput at both and the scaling
+efficiency (throughput_4N / throughput_N) / 4, and rewrites BENCH/BASELINE.md.
+
+Every timed query is materialized through the noop sink so ALL columns are
+computed (a bare count() would let Catalyst prune the feature expressions).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALING_CORPUS = "/tmp/spark_graft_bench/transcripts_20m.parquet"
+SCALING_CONVS = 500_000  # ~20M turns: the host replenishes a CPU-quota budget, so runs must
+# stay short or later iterations execute throttled and poison the comparison
+COOLDOWN_S = int(os.environ.get("SPARK_GRAFT_COOLDOWN", "90"))
+
+# headline set: the flagship product pipeline + one representative of each
+# expensive operator class from the registry
+HEADLINE = [
+    "q01_pricing_summary",   # hash agg + conditional sums
+    "q03_revenue_by_nation", # broadcast dim joins
+    "q09_lag",               # entity window
+    "q12_roll10",            # rolling frame
+    "q16_asof_join",         # as-of backfill join
+    "q20_double_role_join",  # multi-join star
+    "q21_exact_dedup",       # fingerprint dedup
+    "q24_ngram_jaccard",     # shingle self-join
+    "q25_cosine_topk",       # embedding similarity
+    "q27_session_avg_two_anchor",  # two-anchor window
+    "q28_ewma",              # applyInPandas kernel
+    "q29_elo",               # sequential rating kernel
+]
+
+
+def _noop(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def _warm(spark, cores: int) -> None:
+    """Warm JVM codegen AND the Python worker pool (one worker per core —
+    each pays a one-time pandas-import cost that would otherwise pollute the
+    first mapInPandas measurement; a long-lived cluster amortizes this)."""
+    spark.range(1000).count()
+    def _identity(it):
+        yield from it
+    spark.range(0, cores * 10, 1, numPartitions=cores).mapInPandas(
+        _identity, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
+
+def run_headline(cores: int) -> dict:
+    from nfl_feature_store_spark.registry import QUERIES
+    from nfl_feature_store_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cores}]", shuffle_partitions=cores)
+    _warm(spark, cores)
+
+    timings: dict[str, float] = {}
+
+    # flagship: full transcript feature backfill over the events stream
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from nfl_feature_store_spark.plans.pipeline import backfill_features
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    transcripts = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.coalesce(F.col("props"), F.lit("")).alias("text"),
+        F.when(F.col("event_type") == "error", F.lit("debugger")).otherwise(F.lit("")).alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    n_turns = ev.count()
+
+    def best_of(n: int, make_df) -> float:
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            _noop(make_df())
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    # best-of-2: the sandbox host is noisy; min-of-n is the steady-state figure
+    timings["flagship_backfill"] = best_of(2, lambda: backfill_features(transcripts))
+    for name in HEADLINE:
+        timings[name] = best_of(2, lambda q=QUERIES[name]: q(spark, SF_DIR))
+
+    total = round(sum(timings.values()), 3)
+    sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else 0.001)
+    return {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "backfill_turns_per_sec": round(n_turns / timings["flagship_backfill"], 1),
+        "cores": cores,
+    }
+
+
+def _gen_scaling_corpus() -> None:
+    if os.path.exists(SCALING_CORPUS):
+        return
+    from nfl_feature_store_spark.session import get_spark
+    from nfl_feature_store_spark.sources.transcripts import gen_transcripts_distributed
+
+    spark = get_spark(app_name="gen", master="local[32]", shuffle_partitions=64)
+    df = gen_transcripts_distributed(spark, n_convs=SCALING_CONVS, avg_turns=33, seed=42, partitions=64)
+    df.write.mode("overwrite").parquet(SCALING_CORPUS)
+    spark.stop()
+
+
+def run_scaling_child(cores: int) -> None:
+    """Child process: backfill the fixed 2M-turn corpus, print JSON."""
+    from nfl_feature_store_spark.plans.pipeline import backfill_features
+    from nfl_feature_store_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scale{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores * 3,  # ~2 extra waves smooth stragglers
+        extra_conf={"spark.driver.memory": "48g"},
+    )
+    _warm(spark, cores)
+    df = spark.read.parquet(SCALING_CORPUS)
+    n = df.count()
+    # single iteration: the host throttles sustained load, so a second
+    # back-to-back run executes in a throttled regime and reads slower
+    t0 = time.perf_counter()
+    _noop(backfill_features(df, rank_metric=None))
+    dt = time.perf_counter() - t0
+    print(json.dumps({"cores": cores, "turns": n, "sec": round(dt, 3), "turns_per_sec": round(n / dt, 1)}))
+    spark.stop()
+
+
+def run_scaling() -> dict:
+    _gen_scaling_corpus()
+    results = {}
+    for cores in (8, 32):
+        time.sleep(COOLDOWN_S)  # let the host CPU-quota budget replenish
+        # pin the child to exactly N host CPUs: without this the "8-core" run
+        # borrows extra cores for GC/python workers/shuffle threads and
+        # overstates the N-core baseline
+        cmd = [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cores)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["/usr/bin/taskset", "-c", f"0-{cores - 1}"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=REPO)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    tp8, tp32 = results[8]["turns_per_sec"], results[32]["turns_per_sec"]
+    eff = round((tp32 / tp8) / 4.0, 3)
+    summary = {"local8": results[8], "local32": results[32], "scaling_efficiency": eff}
+    _write_bench_md(summary)
+    return summary
+
+
+def _write_bench_md(s: dict) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            "# BENCH/BASELINE — measured engine numbers\n\n"
+            "Scaling evidence (BASELINE.json north rule: throughput scaling efficiency\n"
+            ">= 0.8 from N to 4N executors; sandbox stand-in: same job, same input, two\n"
+            "parallelism levels local[8] vs local[32]):\n\n"
+            "| config | turns | sec | turns/sec |\n|---|---|---|---|\n"
+            f"| local[8] (N) | {s['local8']['turns']} | {s['local8']['sec']} | {s['local8']['turns_per_sec']} |\n"
+            f"| local[32] (4N) | {s['local32']['turns']} | {s['local32']['sec']} | {s['local32']['turns_per_sec']} |\n\n"
+            f"**Scaling efficiency (tp_4N / tp_N) / 4 = {s['scaling_efficiency']}**\n\n"
+            "Job: full point-in-time feature backfill (dedup -> turn metrics ->\n"
+            "sessionize -> lag/form/roll10/expanding/session-avg windows -> EWMA) over a\n"
+            "deterministic ~2M-turn synthetic transcript corpus (fixed parquet input,\n"
+            "identical for both runs; results partitioning-invariant per tests).\n\n"
+            "Reference baseline: the reference engine is single-threaded pandas with no\n"
+            "published numbers (see BASELINE.md); its corpus (374k rows) is ~5000x\n"
+            "smaller than this benchmark input.\n"
+        )
+
+
+if __name__ == "__main__":
+    if "--scaling-child" in sys.argv:
+        run_scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_headline(CPUS)))

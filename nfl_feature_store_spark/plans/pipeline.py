@@ -46,12 +46,18 @@ def backfill_features(
     df = sessionize(df, entity_col=spec.entity_col, gap_s=gap_s)
     df = compile_window_features(df, spec)
     if ewma_span:
+        # presorted: the window stage upstream already hash-partitioned by
+        # entity and sorted within partitions by (entity, anchor, ts, turn) —
+        # anchor is monotone along ts within an entity, so per-entity rows
+        # arrive contiguous-in-order and the mapInPandas kernel needs no
+        # extra shuffle or sort
         df = with_ewma(
             df,
             metrics=spec.metrics,
             span=ewma_span,
             entity_col=spec.entity_col,
             order_cols=spec.order_cols,
+            presorted=True,
         )
     if rank_metric:
         # league-style per-period rank across entities active in the bucket

@@ -692,18 +692,32 @@ def q27_session_avg_two_anchor(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     df = sessionize(ev, entity_col="user_id", ts_col="ts", order_cols=("ts", "event_id"), gap_s=86400)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    wsrun = ws.rowsBetween(Window.unboundedPreceding, 0)
     df = df.withColumn("x2", F.lag(_cents("value"), 1).over(w))
-    first = F.row_number().over(
-        Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
-    ) == 1
-    df = df.withColumn("anchor", F.when(first, F.col("session_id") - 1).otherwise(F.col("session_id")))
-    wa = (
-        Window.partitionBy("user_id", "anchor")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    df = df.withColumns(
+        {
+            "s_incl": F.coalesce(F.sum("x2").over(wrun), F.lit(0)),
+            "c_incl": F.count("x2").over(wrun),
+            "is_first": (F.row_number().over(ws) == 1),
+        }
     )
-    mean = F.sum("x2").over(wa).cast("double") / F.count("x2").over(wa) / 100.0
-    return df.select("event_id", _r(mean, 6).alias("session_avg_value"))
+    df = df.withColumns(
+        {
+            "s_excl": F.col("s_incl") - F.coalesce(F.col("x2"), F.lit(0)),
+            "c_excl": F.col("c_incl") - F.col("x2").isNotNull().cast("long"),
+        }
+    )
+    base_s_cur = F.first("s_excl").over(wsrun)
+    base_c_cur = F.first("c_excl").over(wsrun)
+    base_s = F.when(F.col("is_first"), F.lag(base_s_cur, 1).over(w)).otherwise(base_s_cur)
+    base_c = F.when(F.col("is_first"), F.lag(base_c_cur, 1).over(w)).otherwise(base_c_cur)
+    num = (F.col("s_incl") - F.coalesce(base_s, F.lit(0))).cast("double")
+    den = F.col("c_incl") - F.coalesce(base_c, F.lit(0))
+    return df.select(
+        "event_id", _r(F.when(den > 0, num / den / 100.0), 6).alias("session_avg_value")
+    )
 
 
 Q27_SQL = """
@@ -716,14 +730,32 @@ WITH g AS (
   SELECT *, sum(CASE WHEN gap_s > 86400 THEN 1 ELSE 0 END)
               OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
   FROM g
-), a AS (
-  SELECT *, session_id - CASE WHEN row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) = 1
-                              THEN 1 ELSE 0 END AS anchor
-  FROM s
+), r AS (
+  SELECT *,
+         coalesce(sum(x2) OVER we, 0) AS s_incl,
+         count(x2) OVER we AS c_incl,
+         row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) = 1 AS is_first
+  FROM s WINDOW we AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+), e AS (
+  SELECT *, s_incl - coalesce(x2, 0) AS s_excl,
+         c_incl - CASE WHEN x2 IS NOT NULL THEN 1 ELSE 0 END AS c_excl
+  FROM r
+), b AS (
+  SELECT *,
+         first_value(s_excl) OVER ws AS base_s_cur,
+         first_value(c_excl) OVER ws AS base_c_cur
+  FROM e WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+), f AS (
+  SELECT event_id, s_incl, c_incl,
+         CASE WHEN is_first THEN lag(base_s_cur, 1) OVER wo ELSE base_s_cur END AS base_s,
+         CASE WHEN is_first THEN lag(base_c_cur, 1) OVER wo ELSE base_c_cur END AS base_c
+  FROM b WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT event_id,
-       floor((sum(x2) OVER w)::DOUBLE / (count(x2) OVER w) / 100.0 * 1000000 + 0.5) / 1000000 AS session_avg_value
-FROM a WINDOW w AS (PARTITION BY user_id, anchor ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+       CASE WHEN c_incl - coalesce(base_c, 0) > 0 THEN
+         floor(((s_incl - coalesce(base_s, 0))::DOUBLE / (c_incl - coalesce(base_c, 0)) / 100.0) * 1000000 + 0.5) / 1000000
+       END AS session_avg_value
+FROM f
 """
 
 

@@ -138,10 +138,11 @@ def gen_transcripts_distributed(
     """
     convs = spark.range(0, n_convs, 1, numPartitions=partitions or spark.sparkContext.defaultParallelism)
     h = F.abs(F.xxhash64(F.col("id"), F.lit(seed)))
-    # pow-law-ish sizes in [1, 40*avg]: most convs small, a heavy tail
+    # pow-law-ish sizes, mean ~1.2*avg_turns, heavy tail capped at 40*avg:
+    # E[1/(0.1+u^2)] ~= 4 for u~U(0,1)
     u = (h % 1000000) / 1000000.0
     n_turns = F.least(
-        (F.lit(1) + (F.lit(avg_turns * 0.5) / (F.lit(0.025) + u * u)).cast("int")),
+        (F.lit(1) + (F.lit(avg_turns * 0.3) / (F.lit(0.1) + u * u)).cast("int")),
         F.lit(avg_turns * 40),
     )
     convs = convs.select(
@@ -156,7 +157,7 @@ def gen_transcripts_distributed(
     )
     th = F.abs(F.xxhash64("conv_seq", "turn_idx", F.lit(seed)))
     gap = F.when(th % 100 < 3, F.lit(SESSION_GAP_S) + th % 7200).otherwise(1 + th % 90)
-    text_rep = (th % 40).cast("int")
+    text_rep = (th % 6).cast("int")
     turns = turns.select(
         "conv_id",
         F.col("turn_idx").cast("int").alias("turn_idx"),

@@ -22,6 +22,28 @@ def _words(t: str) -> int:
     return 0 if not t else len(re.split(r"\s+", t))
 
 
+def _session_avg_literal(df: pd.DataFrame, x: pd.Series) -> pd.Series:
+    out = np.full(len(df), np.nan)
+    xv = x.to_numpy(dtype=float)
+    pos = 0
+    for _, grp in df.groupby("conv_id", sort=False):
+        n = len(grp)
+        sess = grp["session_id"].to_numpy()
+        # first index of each session within this conversation
+        first_idx = {}
+        for i in range(n):
+            first_idx.setdefault(sess[i], i)
+        for i in range(n):
+            s = sess[i]
+            anchor = s - 1 if first_idx[s] == i else s
+            start = first_idx.get(anchor, 0)  # conv's very first session: no prior period
+            window = xv[pos + start : pos + i + 1]
+            if np.any(~np.isnan(window)):
+                out[pos + i] = np.nanmean(window)
+        pos += n
+    return pd.Series(out, index=df.index)
+
+
 def referee_features(
     pdf: pd.DataFrame,
     gap_s: int = SESSION_GAP_S,
@@ -61,14 +83,13 @@ def referee_features(
         df[f"expanding_{m}"] = x.groupby(df["conv_id"], sort=False).transform(
             lambda s: s.expanding(min_periods=1).mean()
         )
-        # two-anchor session-avg (W3 verified rule)
-        first_of_session = (
-            df.groupby(["conv_id", "session_id"], sort=False).cumcount() == 0
-        )
-        anchor = df["session_id"] - first_of_session.astype("int64")
-        df[f"session_avg_{m}"] = x.groupby([df["conv_id"], anchor], sort=False).transform(
-            lambda s: s.expanding(min_periods=1).mean()
-        )
+        # two-anchor session-avg (W3): the window for row t starts at the
+        # FIRST row of t's session — or the PREVIOUS session when t is a
+        # session's first row — and runs through t over the lag-1 series x.
+        # Literal slice implementation (independent of the engine's
+        # running-sum formulation); semantics pinned by
+        # test_reference_regression.py::test_w3_season_avg_two_anchor.
+        df[f"session_avg_{m}"] = _session_avg_literal(df, x)
         df[f"ewma_{m}"] = x.groupby(df["conv_id"], sort=False).transform(
             lambda s: s.ewm(span=ewma_span, adjust=False).mean()
         )

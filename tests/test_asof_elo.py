@@ -1,0 +1,135 @@
+"""As-of join vs pandas merge_asof referee; Elo vs a pure-python referee;
+pairwise Elo probability sanity (FIXTURES.md F3/F4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nfl_feature_store_spark.operators.asof import asof_join, latest_snapshot
+from nfl_feature_store_spark.operators.elo import elo_pairwise, elo_per_entity
+from tests.referee import referee_asof
+
+
+@pytest.fixture(scope="module")
+def feat_probe(transcripts_pdf):
+    feats = (
+        transcripts_pdf.drop_duplicates(["conv_id", "turn_idx"], keep="last")
+        .groupby(["conv_id", "ts"], as_index=False)
+        .agg(snap=("text", lambda s: float(len(s.iloc[0]))))
+    )
+    rng = np.random.default_rng(7)
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    convs = feats["conv_id"].unique()
+    probes = pd.DataFrame(
+        {
+            "conv_id": rng.choice(convs, 500),
+            "probe_ts": base
+            + pd.to_timedelta(rng.integers(-3600, 86400 * 3, 500), unit="s"),
+            "probe_id": np.arange(500),
+        }
+    )
+    # edge probes: before first turn, exactly on a turn, after last turn (F4)
+    first = feats.iloc[0]
+    exact = pd.DataFrame(
+        {
+            "conv_id": [first.conv_id, first.conv_id, first.conv_id],
+            "probe_ts": [
+                first.ts - pd.Timedelta(hours=2),
+                first.ts,
+                feats[feats.conv_id == first.conv_id].ts.max() + pd.Timedelta(days=30),
+            ],
+            "probe_id": [9001, 9002, 9003],
+        }
+    )
+    return feats, pd.concat([probes, exact], ignore_index=True)
+
+
+@pytest.mark.parametrize("inclusive", [True, False])
+def test_asof_matches_merge_asof(spark, feat_probe, inclusive):
+    feats, probes = feat_probe
+    sf = spark.createDataFrame(feats)
+    sp = spark.createDataFrame(probes)
+    got = (
+        asof_join(sf, sp, feature_cols=["snap"], inclusive=inclusive)
+        .toPandas()
+        .sort_values("probe_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        referee_asof(feats, probes, ["snap"], inclusive=inclusive)
+        .sort_values("probe_id")
+        .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(
+        got["snap"].to_numpy(dtype=float), exp["snap"].to_numpy(dtype=float), equal_nan=True
+    )
+    # before-first probe NULL; exact-ts probe respects the tie rule
+    row_before = got[got.probe_id == 9001]
+    assert row_before["snap"].isna().all()
+    row_exact = got[got.probe_id == 9002]
+    assert row_exact["snap"].isna().all() != inclusive
+
+
+def test_latest_snapshot_is_last_row(spark, transcripts_sdf):
+    latest = latest_snapshot(transcripts_sdf, order_cols=("ts", "turn_idx")).toPandas()
+    pdf = transcripts_sdf.toPandas().sort_values(["conv_id", "ts", "turn_idx"])
+    exp = pdf.groupby("conv_id").tail(1)
+    assert len(latest) == latest["conv_id"].nunique() == len(exp)
+    m = latest.set_index("conv_id")["turn_idx"]
+    e = exp.set_index("conv_id")["turn_idx"]
+    assert (m.sort_index() == e.sort_index()).all()
+
+
+def _elo_referee(outcomes, k=20.0, init=1500.0, opp=1500.0):
+    r, out = init, []
+    for o in outcomes:
+        out.append(r)
+        if not np.isnan(o):
+            r += k * (o - 1.0 / (1.0 + 10.0 ** (-(r - opp) / 400.0)))
+    return out
+
+
+def test_elo_per_entity_matches_referee(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    base = pd.Timestamp("2026-01-01")
+    for c in range(20):
+        n = int(rng.integers(1, 60))
+        for i in range(n):
+            rows.append((f"e{c}", i, base + pd.Timedelta(seconds=i * 60), float(rng.integers(0, 2))))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "outcome"])
+    got = (
+        elo_per_entity(spark.createDataFrame(pdf), outcome_col="outcome")
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"])
+    )
+    for c, grp in got.groupby("conv_id"):
+        exp = _elo_referee(grp["outcome"].to_numpy(dtype=float))
+        np.testing.assert_allclose(grp["elo_pre"].to_numpy(), exp, rtol=1e-12)
+
+
+def test_elo_pairwise_probabilities_and_updates(spark):
+    matches = pd.DataFrame(
+        {
+            "home": ["A", "B", "A", "C", "B", "A"],
+            "away": ["B", "C", "C", "A", "A", "B"],
+            "outcome": [1.0, 0.0, 1.0, 0.0, 0.5, 1.0],
+            "week": [1, 1, 2, 3, 4, 5],
+        }
+    )
+    out = elo_pairwise(
+        spark.createDataFrame(matches), "home", "away", "outcome", "week", k=20.0
+    ).toPandas().sort_values("week").reset_index(drop=True)
+    # week 1: both fresh at 1500 → prob 0.5
+    assert out.loc[0, "elo_pre_home"] == 1500.0 and out.loc[0, "elo_prob_home"] == 0.5
+    # A beat B in week 1 → A enters week 2 above 1500
+    wk2 = out[out.week == 2].iloc[0]
+    assert wk2["elo_pre_home"] == pytest.approx(1510.0)
+    # zero-sum: total rating mass conserved per match
+    for _, r in out.iterrows():
+        assert r["elo_prob_home"] == pytest.approx(
+            1.0 / (1.0 + 10 ** (-(r["elo_pre_home"] - r["elo_pre_away"]) / 400.0))
+        )

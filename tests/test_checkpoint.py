@@ -1,0 +1,110 @@
+"""Checkpoint-resume equivalence (SURVEY.md §5, FIXTURES.md F6): a backfill
+interrupted mid-run and resumed must produce output identical to an
+uninterrupted run, and reruns must be O(changed partitions)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from nfl_feature_store_spark.plans.checkpoint import PartitionManifest, run_partitioned_backfill
+from nfl_feature_store_spark.plans.pipeline import backfill_features
+from nfl_feature_store_spark.sources.transcripts import transcripts_from_pandas
+
+
+def _build(df):
+    return backfill_features(df, rank_metric=None, ewma_span=None)
+
+
+@pytest.fixture(scope="module")
+def small_pdf(transcripts_pdf):
+    # a handful of conversations spanning several days
+    convs = transcripts_pdf["conv_id"].unique()[:25]
+    return transcripts_pdf[transcripts_pdf.conv_id.isin(convs)].reset_index(drop=True)
+
+
+def test_resume_equivalence(spark, small_pdf, tmp_path_factory):
+    sdf = transcripts_from_pandas(spark, small_pdf)
+
+    base_dir = str(tmp_path_factory.mktemp("full"))
+    m1 = PartitionManifest(os.path.join(base_dir, "manifest.jsonl"))
+    built_full = run_partitioned_backfill(spark, sdf, base_dir, m1, _build)
+    assert built_full
+
+    # interrupted run: only the first half of the partitions complete
+    resume_dir = str(tmp_path_factory.mktemp("resume"))
+    mpath = os.path.join(resume_dir, "manifest.jsonl")
+
+    class Interrupt(Exception):
+        pass
+
+    half = len(built_full) // 2 or 1
+    m2 = PartitionManifest(mpath)
+    count = 0
+    orig_record = m2.record
+
+    def record_and_maybe_die(partition, fingerprint, metrics):
+        nonlocal count
+        orig_record(partition, fingerprint, metrics)
+        count += 1
+        if count == half:
+            raise Interrupt()
+
+    m2.record = record_and_maybe_die
+    with pytest.raises(Interrupt):
+        run_partitioned_backfill(spark, sdf, resume_dir, m2, _build)
+
+    # resume with a fresh manifest object over the same file
+    m3 = PartitionManifest(mpath)
+    built_resumed = run_partitioned_backfill(spark, sdf, resume_dir, m3, _build)
+    assert len(built_resumed) == len(built_full) - half  # O(changed partitions)
+
+    full = pd.concat(
+        [pd.read_parquet(os.path.join(base_dir, d)) for d in sorted(os.listdir(base_dir)) if d.startswith("part=")],
+        ignore_index=True,
+    ).sort_values(["conv_id", "ts", "turn_idx"], ignore_index=True)
+    resumed = pd.concat(
+        [pd.read_parquet(os.path.join(resume_dir, d)) for d in sorted(os.listdir(resume_dir)) if d.startswith("part=")],
+        ignore_index=True,
+    ).sort_values(["conv_id", "ts", "turn_idx"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        full.reset_index(drop=True), resumed.reset_index(drop=True), check_like=True
+    )
+
+
+def test_manifest_lineage_metrics(spark, small_pdf, tmp_path_factory):
+    sdf = transcripts_from_pandas(spark, small_pdf)
+    out = str(tmp_path_factory.mktemp("lineage"))
+    m = PartitionManifest(os.path.join(out, "manifest.jsonl"))
+    run_partitioned_backfill(spark, sdf, out, m, _build)
+    entries = m.entries()
+    assert entries
+    for e in entries:
+        assert e["rows_out"] > 0
+        assert e["ts_min"] <= e["ts_max"]
+        assert "fingerprint" in e and "lookback_parts" in e
+
+    # idempotent rerun: nothing rebuilt
+    m2 = PartitionManifest(os.path.join(out, "manifest.jsonl"))
+    assert run_partitioned_backfill(spark, sdf, out, m2, _build) == []
+
+
+def test_warmup_rows_match_unpartitioned(spark, small_pdf, tmp_path_factory):
+    """Partitioned backfill with 1-partition lookback equals the global
+    pipeline wherever a window needs < 1 day of history — and the manifest
+    approach never leaks future rows into earlier partitions."""
+    sdf = transcripts_from_pandas(spark, small_pdf)
+    out = str(tmp_path_factory.mktemp("warm"))
+    m = PartitionManifest(os.path.join(out, "manifest.jsonl"))
+    run_partitioned_backfill(spark, sdf, out, m, _build, lookback_parts=99)
+    part_rows = pd.concat(
+        [pd.read_parquet(os.path.join(out, d)) for d in sorted(os.listdir(out)) if d.startswith("part=")],
+        ignore_index=True,
+    ).sort_values(["conv_id", "ts", "turn_idx"], ignore_index=True)
+    whole = (
+        _build(sdf).toPandas().sort_values(["conv_id", "ts", "turn_idx"], ignore_index=True)
+    )
+    # lookback covering all history ⇒ bitwise identical to the global run
+    pd.testing.assert_frame_equal(part_rows, whole[part_rows.columns], check_like=True)
