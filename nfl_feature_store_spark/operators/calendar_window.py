@@ -49,7 +49,11 @@ def calendar_rolling_mean(
     c_excl = F.count(v).over(wpast)
     df = df.withColumns({"__s": s_excl, "__c": c_excl})
 
-    k = F.when(F.col(period_col) == 1, F.lit(k_max)).otherwise(F.col(period_col) - 1)
+    # clamp to k_max: periods beyond the lag budget fall back to the widest
+    # window (callers pick k_max = max periods per cycle, e.g. 18 NFL weeks)
+    k = F.when(F.col(period_col) == 1, F.lit(k_max)).otherwise(
+        F.least(F.col(period_col) - 1, F.lit(k_max))
+    )
 
     def case_over_lags(col: str) -> Column:
         """value of ``col`` k rows back (0 when the entity has fewer rows)."""

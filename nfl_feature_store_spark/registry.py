@@ -759,6 +759,92 @@ FROM f
 """
 
 
+def q32_calendar_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    """W4 (corrected): mean of the last (period-1) rows, k_max at period 1 —
+    the event store's verified calendar-anchored rolling rule
+    (operators/calendar_window.py), period := day-of-month of the event."""
+    from nfl_feature_store_spark.operators.calendar_window import calendar_rolling_mean
+
+    ev = load_table(spark, sf, "events").withColumns(
+        {"period": F.dayofmonth("ts"), "v2": _cents("value").cast("double")}
+    )
+    out = calendar_rolling_mean(
+        ev, "v2", period_col="period", entity_col="user_id",
+        order_cols=("ts", "event_id"), k_max=8,
+    )
+    return out.select("event_id", _r(F.col("cal_avg_v2") / 100.0, 6).alias("cal_avg_value"))
+
+
+def _q32_sql() -> str:
+    lag_s = " ".join(
+        f"WHEN {k} THEN coalesce(lag(s_excl, {k}) OVER w, 0)" for k in range(1, 9)
+    )
+    lag_c = " ".join(
+        f"WHEN {k} THEN coalesce(lag(c_excl, {k}) OVER w, 0)" for k in range(1, 9)
+    )
+    return f"""
+WITH s AS (
+  SELECT event_id, user_id, ts,
+         day(ts) AS period,
+         floor(value * 100 + 0.5) AS v2
+  FROM events
+), r AS (
+  SELECT *, coalesce(sum(v2) OVER wp, 0) AS s_excl, count(v2) OVER wp AS c_excl
+  FROM s WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), k AS (
+  SELECT *, CASE WHEN period = 1 THEN 8 ELSE least(period - 1, 8) END AS kk FROM r
+), b AS (
+  SELECT event_id, s_excl, c_excl,
+         CASE kk {lag_s} END AS base_s,
+         CASE kk {lag_c} END AS base_c
+  FROM k WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id,
+       CASE WHEN c_excl - base_c > 0 THEN
+         floor(((s_excl - base_s) / (c_excl - base_c) / 100.0) * 1000000 + 0.5) / 1000000
+       END AS cal_avg_value
+FROM b
+"""
+
+
+Q32_SQL = _q32_sql()
+
+
+def q33_session_aggregates(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-session aggregates after gap-sessionization (the north rule's
+    sessionize → per-session rollup; streaming form in streaming/sessions.py)."""
+    from nfl_feature_store_spark.operators.sessionize import sessionize
+
+    ev = load_table(spark, sf, "events")
+    s = sessionize(ev, entity_col="user_id", ts_col="ts", order_cols=("ts", "event_id"), gap_s=86400)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        _r(F.sum(_cents("value")).cast("double") / 100.0, 2).alias("session_value"),
+        F.min("ts").cast("timestamp").cast("long").alias("session_start_epoch"),
+        F.max("ts").cast("timestamp").cast("long").alias("session_end_epoch"),
+    ).withColumn("session_id", F.col("session_id").cast("long"))
+
+
+Q33_SQL = """
+WITH g AS (
+  SELECT event_id, user_id, ts, value,
+         coalesce(date_diff('second', lag(ts,1) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts), 0) AS gap_s
+  FROM events
+), s AS (
+  SELECT *, sum(CASE WHEN gap_s > 86400 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       floor((sum(floor(value * 100 + 0.5))::DOUBLE / 100.0) * 100 + 0.5) / 100 AS session_value,
+       floor(epoch(min(ts)))::BIGINT AS session_start_epoch,
+       floor(epoch(max(ts)))::BIGINT AS session_end_epoch
+FROM s GROUP BY 1, 2
+"""
+
+
 # ----------------------------------------------------- rows-only queries
 # (genuinely non-ANSI-SQL-expressible: unbounded recursions / hash-family
 #  choices; covered by the pandas-referee pytest suite instead)
@@ -842,6 +928,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_elo": q29_elo,
     "q30_minhash_dedup": q30_minhash_dedup,
     "q31_simhash": q31_simhash,
+    "q32_calendar_rolling": q32_calendar_rolling,
+    "q33_session_aggregates": q33_session_aggregates,
 }
 
 ORACLES: dict[str, str] = {
@@ -872,5 +960,7 @@ ORACLES: dict[str, str] = {
     "q25_cosine_topk": Q25_SQL,
     "q26_null_preserving_sum": Q26_SQL,
     "q27_session_avg_two_anchor": Q27_SQL,
+    "q32_calendar_rolling": Q32_SQL,
+    "q33_session_aggregates": Q33_SQL,
     # q28-q31: rows-only (sequential recursions / engine-specific hash families)
 }

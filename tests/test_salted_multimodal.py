@@ -1,0 +1,77 @@
+"""Salted-window exactness (FIXTURES.md F6 hot-entity case) and multimodal
+plumbing shape tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nfl_feature_store_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_media_features,
+    frame_sample_plan,
+    synthesize_media,
+)
+from nfl_feature_store_spark.operators.salted import salted_expanding_mean
+
+
+def test_salted_equals_unsalted(spark):
+    rng = np.random.default_rng(3)
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["hot"] * n,
+            "turn_idx": np.arange(n, dtype="int32"),
+            "ts": pd.Timestamp("2026-01-01") + pd.to_timedelta(np.arange(n) * 7, unit="s"),
+            "value": np.round(rng.normal(50, 10, n), 2),
+        }
+    )
+    # a second, cold entity with nulls sprinkled in
+    cold = pdf.iloc[:97].assign(conv_id="cold")
+    cold.loc[cold.index[::7], "value"] = np.nan
+    sdf = spark.createDataFrame(pd.concat([pdf, cold], ignore_index=True))
+
+    got = (
+        salted_expanding_mean(sdf, "value", n_salt=16)
+        .orderBy("conv_id", "ts", "turn_idx")
+        .toPandas()
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    exp = (
+        sdf.withColumn("e", F.avg("value").over(w))
+        .orderBy("conv_id", "ts", "turn_idx")
+        .toPandas()
+    )
+    np.testing.assert_allclose(
+        got["salted_expanding_value"].to_numpy(dtype=float),
+        exp["e"].to_numpy(dtype=float),
+        rtol=1e-12,
+        equal_nan=True,
+    )
+
+
+def test_media_feature_extraction_shape(spark):
+    media = synthesize_media(spark, n=300)
+    out = extract_media_features(media).toPandas()
+    assert len(out) == 300
+    assert set(out["kind"]) <= {"image", "audio", "video"}
+    assert all(len(f) == FEATURE_DIM for f in out["feature"])
+    assert (out["n_bytes"] > 0).all()
+    # determinism under repartitioning
+    out2 = extract_media_features(media.repartition(7)).toPandas()
+    a = out.sort_values("media_id").reset_index(drop=True)
+    b = out2.sort_values("media_id").reset_index(drop=True)
+    assert all(np.allclose(x, y) for x, y in zip(a["feature"], b["feature"]))
+
+
+def test_frame_sample_plan(spark):
+    media = synthesize_media(spark, n=200)
+    plan = frame_sample_plan(media, every_ms=1000, max_frames=8).toPandas()
+    vids = media.filter("kind = 'video'").count()
+    assert plan["media_id"].nunique() == vids
+    assert plan["frame_idx"].max() <= 7
+    assert (plan["frame_ts_ms"] == plan["frame_idx"] * 1000).all()
