@@ -32,8 +32,10 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALING_CORPUS = "/tmp/spark_graft_bench/transcripts_20m.parquet"
-SCALING_CONVS = 500_000  # ~20M turns: the host replenishes a CPU-quota budget, so runs must
+SCALING_CORPUS = os.environ.get(
+    "SPARK_GRAFT_SCALE_CORPUS", "/tmp/spark_graft_bench/transcripts_20m.parquet"
+)
+SCALING_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "500000"))  # ~20M turns: the host replenishes a CPU-quota budget, so runs must
 # stay short or later iterations execute throttled and poison the comparison
 COOLDOWN_S = int(os.environ.get("SPARK_GRAFT_COOLDOWN", "90"))
 
@@ -160,10 +162,15 @@ def run_scaling_child(cores: int) -> None:
     spark.stop()
 
 
+SCALE_PAIR = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_CORES", "8,32").split(",")
+)
+
+
 def run_scaling() -> dict:
     _gen_scaling_corpus()
     results = {}
-    for cores in (8, 32):
+    for cores in SCALE_PAIR:
         time.sleep(COOLDOWN_S)  # let the host CPU-quota budget replenish
         # pin the child to exactly N host CPUs: without this the "8-core" run
         # borrows extra cores for GC/python workers/shuffle threads and
@@ -174,10 +181,12 @@ def run_scaling() -> dict:
         out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=REPO)
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         results[cores] = json.loads(line)
-    tp8, tp32 = results[8]["turns_per_sec"], results[32]["turns_per_sec"]
-    eff = round((tp32 / tp8) / 4.0, 3)
-    summary = {"local8": results[8], "local32": results[32], "scaling_efficiency": eff}
-    _write_bench_md(summary)
+    lo, hi = SCALE_PAIR
+    tp_lo, tp_hi = results[lo]["turns_per_sec"], results[hi]["turns_per_sec"]
+    eff = round((tp_hi / tp_lo) / (hi / lo), 3)
+    summary = {"local8": results[lo], "local32": results[hi], "scaling_efficiency": eff}
+    if os.environ.get("SPARK_GRAFT_WRITE_MD", "0") == "1":
+        _write_bench_md(summary)  # BENCH/BASELINE.md is otherwise hand-curated
     return summary
 
 

@@ -40,6 +40,20 @@ def with_turn_metrics(df: DataFrame) -> DataFrame:
     )
 
 
+def masked_zero_fill(df: DataFrame, protected: tuple[str, ...] = ()) -> DataFrame:
+    """P9 analog (reference src/pumps/player_game.py:196-200,313-322,462-466,
+    526-535): zero-fill NULLs in every numeric column EXCEPT a protected set
+    whose NULLs are semantic ('no history yet' — the reference keeps its
+    EPA family NaN while zero-filling all other stats)."""
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("integer", "long", "double", "float", "short")
+    }
+    fill = sorted(numeric - set(protected))
+    return df.fillna(0, subset=fill) if fill else df
+
+
 def dedup_latest(
     df: DataFrame,
     entity_col: str = "conv_id",
