@@ -118,7 +118,6 @@ def elo_pairwise(
     bucket_col: str,  # time bucket; each entity appears <=1x per bucket
     k: float = DEFAULT_K,
     init: float = DEFAULT_INIT,
-    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Two-sided Elo via driver-coordinated synchronous time-bucket loop.
 
@@ -127,41 +126,30 @@ def elo_pairwise(
     ratings table onto that bucket's events — the ratings table has one row
     per entity, orders of magnitude smaller than the event stream.
     """
+    # Pairwise Elo is for INTERACTING entity populations — leagues — which
+    # are small by construction (the reference has 32 teams; README.md:44-45
+    # points to its sibling elo-rating repo). Ratings state therefore lives
+    # on the DRIVER as a dict, and each bucket's scoring is a vectorized
+    # pandas pass over that bucket's matches. (The first implementation kept
+    # ratings as a chained-localCheckpoint DataFrame; once Spark's
+    # ContextCleaner evicted an old checkpoint block, recomputation recursed
+    # through every prior bucket — geometric blowup. Per-entity streams at
+    # 10^9-entity scale belong in elo_per_entity, which is embarrassingly
+    # parallel.) The match stream itself is pulled bucket-at-a-time via
+    # toPandas — bounded by matches-per-bucket <= |entities| / 2.
     spark = df.sparkSession
-    buckets = [r[0] for r in df.select(bucket_col).distinct().orderBy(bucket_col).collect()]
-    ratings = spark.createDataFrame(
-        df.select(F.col(home_col).alias("entity"))
-        .union(df.select(F.col(away_col).alias("entity")))
-        .distinct()
-        .toPandas()
-        .assign(rating=init)
-    )
-    outs: list[DataFrame] = []
-    for i, b in enumerate(buckets):
-        ev = df.filter(F.col(bucket_col) == F.lit(b))
-        rh = ratings.select(F.col("entity").alias(home_col), F.col("rating").alias("elo_pre_home"))
-        ra = ratings.select(F.col("entity").alias(away_col), F.col("rating").alias("elo_pre_away"))
-        ev = ev.join(F.broadcast(rh), home_col, "left").join(F.broadcast(ra), away_col, "left")
-        ev = ev.withColumn(
-            "elo_prob_home",
-            1.0 / (1.0 + F.pow(10.0, -(F.col("elo_pre_home") - F.col("elo_pre_away")) / 400.0)),
-        )
-        delta = F.lit(k) * (F.col(outcome_col) - F.col("elo_prob_home"))
-        updates = ev.select(
-            F.col(home_col).alias("entity"), (F.col("elo_pre_home") + delta).alias("rating")
-        ).union(
-            ev.select(
-                F.col(away_col).alias("entity"), (F.col("elo_pre_away") - delta).alias("rating")
-            )
-        )
-        ratings = (
-            ratings.join(updates.withColumnRenamed("rating", "new_r"), "entity", "left")
-            .select("entity", F.coalesce("new_r", "rating").alias("rating"))
-        )
-        if (i + 1) % checkpoint_every == 0:
-            ratings = ratings.localCheckpoint(eager=True)  # bound lineage growth
-        outs.append(ev)
-    result = outs[0]
-    for o in outs[1:]:
-        result = result.unionByName(o)
-    return result
+    pdf_all = df.toPandas().sort_values(bucket_col, kind="mergesort")
+    ratings: dict = {}
+    rows = []
+    for b, grp in pdf_all.groupby(bucket_col, sort=True):
+        pre_h = np.array([ratings.get(h, init) for h in grp[home_col]])
+        pre_a = np.array([ratings.get(a, init) for a in grp[away_col]])
+        prob_h = 1.0 / (1.0 + 10.0 ** (-(pre_h - pre_a) / 400.0))
+        delta = k * (grp[outcome_col].to_numpy(dtype=float) - prob_h)
+        out = grp.assign(elo_pre_home=pre_h, elo_pre_away=pre_a, elo_prob_home=prob_h)
+        rows.append(out)
+        for h, a, dh in zip(grp[home_col], grp[away_col], delta):
+            ratings[h] = ratings.get(h, init) + dh
+            ratings[a] = ratings.get(a, init) - dh
+    result_pdf = pd.concat(rows, ignore_index=True)
+    return spark.createDataFrame(result_pdf)

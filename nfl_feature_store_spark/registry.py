@@ -896,6 +896,78 @@ def q31_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return simhash(docs, id_col="doc_id", text_col="text")
 
 
+def q34_career_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """A7: whole-history re-aggregation with ratio metrics recomputed from
+    sums (reference src/pumps/player_game.py:625-682 weekly=False path,
+    implementing the INTENDED per-group semantics, not its whole-frame
+    lambda bug — SURVEY §2.5 A7 note)."""
+    ev = load_table(spark, sf, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.sum(_cents("value")).alias("v_all"),
+        F.sum(F.when(F.col("event_type") == "purchase", _cents("value"))).alias("v_purchase"),
+        F.count("*").alias("n_events"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchase"),
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        "n_purchase",
+        _r(F.col("v_all").cast("double") / 100.0, 2).alias("total_value"),
+        _r(
+            F.when(F.col("v_all") > 0, F.col("v_purchase").cast("double") / F.col("v_all")),
+            6,
+        ).alias("purchase_value_share"),
+        _r(F.col("n_purchase").cast("double") / F.col("n_events"), 6).alias("purchase_rate"),
+    )
+
+
+Q34_SQL = """
+WITH a AS (
+  SELECT user_id,
+         sum(floor(value * 100 + 0.5)::BIGINT) AS v_all,
+         sum(CASE WHEN event_type = 'purchase' THEN floor(value * 100 + 0.5)::BIGINT END) AS v_purchase,
+         count(*) AS n_events,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase
+  FROM events GROUP BY 1
+)
+SELECT user_id, n_events, n_purchase,
+       floor((v_all::DOUBLE / 100.0) * 100 + 0.5) / 100 AS total_value,
+       CASE WHEN v_all > 0 THEN floor((v_purchase::DOUBLE / v_all) * 1000000 + 0.5) / 1000000 END AS purchase_value_share,
+       floor((n_purchase::DOUBLE / n_events) * 1000000 + 0.5) / 1000000 AS purchase_rate
+FROM a
+"""
+
+
+def q35_elo_pairwise(spark: SparkSession, sf: str) -> DataFrame:
+    """W9 two-sided variant: globally-sequential Elo via the driver-
+    coordinated time-bucket loop (operators/elo.py elo_pairwise). Matches
+    are synthesized so each entity appears at most once per daily bucket
+    (home = user < 75, away = home + 75, first event of the day). Rows-only:
+    the cross-bucket recursion isn't ANSI-SQL-expressible."""
+    from nfl_feature_store_spark.operators.elo import elo_pairwise
+
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 75)
+    day = F.date_trunc("day", F.col("ts").cast("timestamp"))
+    first = (
+        ev.withColumn("d", day)
+        .withColumn("rn", F.row_number().over(Window.partitionBy("user_id", "d").orderBy("ts", "event_id")))
+        .filter(F.col("rn") == 1)
+    )
+    matches = first.select(
+        F.col("user_id").alias("home"),
+        (F.col("user_id") + 75).alias("away"),
+        F.when(F.col("value") > 50, 1.0).otherwise(0.0).alias("outcome"),
+        F.col("d").cast("date").cast("string").alias("bucket"),
+        "event_id",
+    )
+    out = elo_pairwise(matches, "home", "away", "outcome", "bucket", k=20.0)
+    return out.select(
+        "event_id",
+        _r(F.col("elo_pre_home"), 6).alias("elo_pre_home"),
+        _r(F.col("elo_prob_home"), 6).alias("elo_prob_home"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -930,6 +1002,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_simhash": q31_simhash,
     "q32_calendar_rolling": q32_calendar_rolling,
     "q33_session_aggregates": q33_session_aggregates,
+    "q34_career_agg": q34_career_agg,
+    "q35_elo_pairwise": q35_elo_pairwise,
 }
 
 ORACLES: dict[str, str] = {
@@ -962,5 +1036,6 @@ ORACLES: dict[str, str] = {
     "q27_session_avg_two_anchor": Q27_SQL,
     "q32_calendar_rolling": Q32_SQL,
     "q33_session_aggregates": Q33_SQL,
+    "q34_career_agg": Q34_SQL,
     # q28-q31: rows-only (sequential recursions / engine-specific hash families)
 }
