@@ -9,11 +9,15 @@ Default mode (what the round driver runs): executes the headline queries at
      "queries": {"flagship_backfill": sec, ...}, "sf": 0.1,
      "backfill_turns_per_sec": N, "cores": 32}
 
-Scaling mode (``--scaling``): generates a deterministic ~2M-turn transcript
-corpus once, then runs the flagship backfill in two SEPARATE JVMs at
-local[8] and local[32] (N and 4N cores — the sandbox stand-in for N vs 4N
-executors, per BASELINE.md), reports throughput at both and the scaling
-efficiency (throughput_4N / throughput_N) / 4, and rewrites BENCH/BASELINE.md.
+Scaling mode (``--scaling``): generates a deterministic ~20M-turn transcript
+corpus once (size via $SPARK_GRAFT_SCALE_CONVS), then runs the flagship
+backfill in two SEPARATE, taskset-pinned JVMs at the core pair from
+$SPARK_GRAFT_SCALE_CORES (default "8,32" — the sandbox stand-in for N vs 4N
+executors, per BASELINE.md), with $SPARK_GRAFT_COOLDOWN seconds of idle
+before each child (the host throttles sustained load — see
+BENCH/BASELINE.md appendix). Reports throughput at both and the scaling
+efficiency (tp_hi / tp_lo) / (hi / lo); set SPARK_GRAFT_WRITE_MD=1 to let it
+rewrite the hand-curated BENCH/BASELINE.md.
 
 Every timed query is materialized through the noop sink so ALL columns are
 computed (a bare count() would let Catalyst prune the feature expressions).
