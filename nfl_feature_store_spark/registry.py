@@ -92,7 +92,7 @@ SELECT l_returnflag, l_linestatus,
        floor((avg(l_quantity)) * 1000000 + 0.5) / 1000000                          AS avg_qty,
        floor((avg(l_discount)) * 1000000 + 0.5) / 1000000                          AS avg_disc,
        count(*)                                           AS count_order,
-       sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS deep_disc_items
+       sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)::BIGINT AS deep_disc_items
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -355,8 +355,8 @@ WITH g AS (
   FROM events
 )
 SELECT event_id, gap_s,
-       sum(CASE WHEN gap_s > 86400 THEN 1 ELSE 0 END)
-         OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+       (sum(CASE WHEN gap_s > 86400 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
 FROM g
 """
 
@@ -836,7 +836,7 @@ WITH g AS (
               OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
   FROM g
 )
-SELECT user_id, session_id,
+SELECT user_id, session_id::BIGINT AS session_id,
        count(*) AS n_events,
        floor((sum(floor(value * 100 + 0.5))::DOUBLE / 100.0) * 100 + 0.5) / 100 AS session_value,
        floor(epoch(min(ts)))::BIGINT AS session_start_epoch,
@@ -927,7 +927,7 @@ WITH a AS (
          sum(floor(value * 100 + 0.5)::BIGINT) AS v_all,
          sum(CASE WHEN event_type = 'purchase' THEN floor(value * 100 + 0.5)::BIGINT END) AS v_purchase,
          count(*) AS n_events,
-         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase
   FROM events GROUP BY 1
 )
 SELECT user_id, n_events, n_purchase,
