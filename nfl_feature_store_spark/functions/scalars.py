@@ -13,14 +13,18 @@ from pyspark.sql import functions as F
 
 
 def decode_hex_id(col: Column | str, expected_len: int = 36) -> Column:
-    """F1 analog of ``decode_gsis``: an ID whose tail is hex-pair-encoded
-    ASCII is decoded back to characters; IDs of unexpected length pass
-    through unchanged (the reference's length-36 guard).
+    """F1 analog of ``decode_gsis`` (reference src/pumps/player_game.py:23-31):
+    for a length-36 ID, take ``new_id[4:-8]`` (24 chars), strip dashes, and
+    hex-pair-decode the remaining 20 hex chars back to a 10-char ID; IDs of
+    any other length pass through unchanged (the reference's length guard).
 
-    Pure column algebra: substring + unhex + decode — the reference does
-    this per-row in Python."""
+    Pure column algebra: substring + regexp_replace + unhex + decode — the
+    reference does this per-row in Python."""
     c = F.col(col) if isinstance(col, str) else col
-    decoded = F.decode(F.unhex(F.substring(c, 5, 1000)), "UTF-8")
+    # [4:-8] == 1-based substring(5, expected_len - 12); dashes inside the
+    # span are stripped before hex decoding, exactly as the reference does
+    span = F.substring(c, 5, expected_len - 12)
+    decoded = F.decode(F.unhex(F.regexp_replace(span, "-", "")), "UTF-8")
     return F.when(F.length(c) == expected_len, decoded).otherwise(c)
 
 

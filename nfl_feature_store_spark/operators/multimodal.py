@@ -6,8 +6,9 @@ shapes) is real and tested; the actual codec work is STUBBED behind
 ``decode_stub`` because the sandbox image has no image/audio libraries —
 swap ``_fake_decode`` for PIL/torchaudio/ffmpeg in production. The batch
 contract is the part that matters at 100 TB: media bytes never pass through
-Python row-at-a-time, only as Arrow buffers, and partitions are sized by
-``bytes_per_partition`` so a worker holds one partition of media in memory.
+Python row-at-a-time, only as Arrow buffers, and per-batch bytes are bounded
+at execution time by the session's
+``spark.sql.execution.arrow.maxBytesPerBatch`` (see extract_media_features).
 """
 
 from __future__ import annotations
@@ -77,29 +78,41 @@ def decode_stub(payload: bytes, kind: str) -> np.ndarray:
 
 def extract_media_features(
     media: DataFrame,
-    bytes_per_partition: int = 128 * 1024 * 1024,
-    est_row_bytes: int = 64 * 1024,
+    emit_batch_rows: bool = False,
 ) -> DataFrame:
     """media table → (media_id, kind, feature: array<float>, n_bytes).
 
     Arrow-batched ``mapInPandas``: each pandas batch carries the payload
-    column as raw bytes; the decode runs vectorized per batch. Partition
-    count is derived from the byte budget so one worker never materializes
-    more than ``bytes_per_partition`` of media at once.
+    column as raw bytes; the decode runs vectorized per batch and the kernel
+    streams batch-by-batch, never holding a whole partition.
+
+    Memory contract (execution-time, round-1 fix): the bytes a worker
+    materializes per batch are bounded by the SESSION conf
+    ``spark.sql.execution.arrow.maxBytesPerBatch`` (Spark 4 default 64 MB),
+    which the JVM-side ArrowWriter enforces when the plan EXECUTES — unlike a
+    records-per-batch conf toggled around this (lazy) transformation, which
+    would be restored before any task runs and so never take effect. Size the
+    session conf to the worker budget at session build time; do not mutate it
+    around individual queries.
+
+    ``emit_batch_rows=True`` appends a ``batch_rows`` column recording the
+    size of the Arrow batch each row arrived in — observability for tests
+    that pin the batch-bound contract.
     """
-    out_schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType(), False),
-            T.StructField("kind", T.StringType(), False),
-            T.StructField("feature", T.ArrayType(T.FloatType()), True),
-            T.StructField("n_bytes", T.IntegerType(), True),
-        ]
-    )
+    fields = [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+    ]
+    if emit_batch_rows:
+        fields.append(T.StructField("batch_rows", T.IntegerType(), False))
+    out_schema = T.StructType(fields)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:  # stream batch-by-batch: never holds the partition
             feats = [decode_stub(p, k) for p, k in zip(pdf["payload"], pdf["kind"])]
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
@@ -107,18 +120,11 @@ def extract_media_features(
                     "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
                 }
             )
+            if emit_batch_rows:
+                out["batch_rows"] = len(pdf)
+            yield out
 
-    # the kernel streams Arrow batch-by-batch, so memory per worker is one
-    # batch (maxRecordsPerBatch) of payloads, not the whole partition; the
-    # byte budget is enforced by capping records per batch
-    rows_per_batch = max(1, bytes_per_partition // est_row_bytes // 16)
-    spark = media.sparkSession
-    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(rows_per_batch))
-    try:
-        return media.mapInPandas(kernel, schema=out_schema)
-    finally:
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    return media.mapInPandas(kernel, schema=out_schema)
 
 
 def frame_sample_plan(

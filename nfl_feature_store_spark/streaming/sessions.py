@@ -7,9 +7,12 @@ rule adds streaming ingestion of late/duplicate turns. This is the
 operators/sessionize.py — same gap semantics, incremental state.
 
 Late turns older than the watermark are dropped by the state store;
-duplicates within the watermark collapse via the dedup aggregation key
-``(conv_id, turn_idx)`` before the session window (keep-latest-ts matches the
-batch dedup_latest).
+duplicate turn deliveries within the watermark collapse via
+``dropDuplicatesWithinWatermark`` on ``(conv_id, turn_idx)`` before the
+session window. Streaming dedup keeps the FIRST delivery seen (the state
+store has no retraction), a documented deviation from the batch
+``dedup_latest`` which keeps the latest-``ts`` copy; the two agree whenever
+re-deliveries carry identical payloads (the at-least-once transport case).
 """
 
 from __future__ import annotations
@@ -26,9 +29,13 @@ def streaming_session_aggregates(
     """Per (conv_id, session) streaming aggregates over a gap-based session
     window. ``turns`` must be a streaming DataFrame with the canonical
     transcript schema; output mode 'append' emits a session once the
-    watermark passes its close.
+    watermark passes its close. Duplicate ``(conv_id, turn_idx)`` deliveries
+    inside the watermark are collapsed (keep-first) so re-delivered turns
+    don't inflate ``n_turns``/``total_chars``.
     """
-    deduped = turns.withWatermark("ts", watermark)
+    deduped = turns.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
     sess = deduped.groupBy(
         F.col("conv_id"),
         F.session_window(F.col("ts"), f"{gap_s} seconds").alias("session"),

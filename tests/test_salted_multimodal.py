@@ -68,6 +68,26 @@ def test_media_feature_extraction_shape(spark):
     assert all(np.allclose(x, y) for x, y in zip(a["feature"], b["feature"]))
 
 
+def test_media_batch_bytes_bound_applies_at_execution(spark):
+    """The byte budget must hold when the plan EXECUTES (round-1 VERDICT #4:
+    a conf toggled and restored around the lazy transformation is a no-op).
+    With the session's arrow.maxBytesPerBatch shrunk, the kernel must see
+    many small batches — under the old restore-before-execution behavior the
+    whole single-partition input arrived as one batch and this fails."""
+    key = "spark.sql.execution.arrow.maxBytesPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(4 * 1024))  # 4 KB
+    try:
+        media = synthesize_media(spark, n=400).coalesce(1)
+        out = extract_media_features(media, emit_batch_rows=True).toPandas()
+    finally:
+        spark.conf.set(key, prev)
+    assert len(out) == 400
+    # one 4KB batch holds far fewer than 400 rows of ~32B payloads + metadata
+    assert out["batch_rows"].max() < 400
+    assert out["batch_rows"].max() <= 128
+
+
 def test_frame_sample_plan(spark):
     media = synthesize_media(spark, n=200)
     plan = frame_sample_plan(media, every_ms=1000, max_frames=8).toPandas()

@@ -6,10 +6,15 @@ from nfl_feature_store_spark.functions.scalars import decode_hex_id, linear_scor
 
 
 def test_decode_hex_id(spark):
-    # "00-0" prefix + hex pairs for "ABC" (len-guard uses a 10-char id here)
-    df = spark.createDataFrame(pd.DataFrame({"pid": ["00-0414243", "short"]}))
-    out = df.select(decode_hex_id("pid", expected_len=10).alias("d")).toPandas()
-    assert out["d"].tolist() == ["ABC", "short"]
+    # realistic 36-char dashed ESB-style id: [4:-8] = "3030-2d30-3033-3338-3733",
+    # dashes stripped -> 20 hex chars -> "00-0033873" (reference
+    # decode_gsis(new_id) == "00-0033873", verified against the pure-python
+    # reference implementation); non-36-char ids pass through unchanged
+    df = spark.createDataFrame(
+        pd.DataFrame({"pid": ["32013030-2d30-3033-3338-373300000000", "short", "00-0033873"]})
+    )
+    out = df.select(decode_hex_id("pid").alias("d")).toPandas()
+    assert out["d"].tolist() == ["00-0033873", "short", "00-0033873"]
 
 
 def test_success_points(spark):

@@ -17,8 +17,10 @@ from nfl_feature_store_spark.streaming.sessions import streaming_session_aggrega
 
 @pytest.fixture(scope="module")
 def staged_dir(spark, transcripts_pdf, tmp_path_factory):
-    # dedup fixture duplicates first: streaming dedup-by-key is a separate
-    # concern; this test pins the session-window semantics
+    # pre-deduped input pins the session-window semantics in isolation (the
+    # in-operator dropDuplicatesWithinWatermark is a no-op on unique keys);
+    # duplicate collapsing itself is covered by
+    # test_streaming_dedup_collapses_duplicates below
     pdf = transcripts_pdf.drop_duplicates(["conv_id", "turn_idx"], keep="last")
     pdf = pdf[pdf.conv_id.isin(pdf.conv_id.unique()[:40])]
     d = str(tmp_path_factory.mktemp("stream_src"))
@@ -60,6 +62,57 @@ def test_streaming_sessions_match_batch(spark, staged_dir, tmp_path_factory):
     key = ["conv_id", "session_start"]
     merged = got.merge(exp, on=key, suffixes=("_s", "_b"), how="left")
     assert merged["n_turns_b"].notna().all(), "streaming emitted a session batch doesn't have"
+    assert (merged["n_turns_s"] == merged["n_turns_b"]).all()
+    assert (merged["total_chars_s"] == merged["total_chars_b"]).all()
+
+
+def test_streaming_dedup_collapses_duplicates(spark, tmp_path_factory):
+    """Duplicate (conv_id, turn_idx) deliveries must NOT inflate
+    n_turns/total_chars: the operator dedups within the watermark before the
+    session window (ADVICE round 1). Duplicates here are exact re-deliveries
+    (identical ts/payload) so keep-first == keep-any and the expected output
+    is deterministic."""
+    base = pd.Timestamp("2026-03-01 00:00:00")
+    rows = []
+    for c in range(3):
+        for j in range(20):
+            rows.append((f"d{c}", j, "user", f"msg {c} {j}", "", base + pd.Timedelta(seconds=c * 7 + j * 60)))
+        # a far-later turn opens a second session, pushing the final watermark
+        # (max ts - 10 min) past the first session's close so append emits it
+        rows.append((f"d{c}", 20, "user", "late", "", base + pd.Timedelta(seconds=c * 7 + 7200)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    dups = pdf.iloc[::3].copy()  # every 3rd turn re-delivered verbatim
+    noisy = pd.concat([pdf, dups], ignore_index=True).sample(frac=1.0, random_state=5)
+
+    d = str(tmp_path_factory.mktemp("dup_src"))
+    spark.createDataFrame(noisy, schema=TRANSCRIPT_SCHEMA).coalesce(2).write.mode("overwrite").parquet(d)
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(d)
+    sess = streaming_session_aggregates(stream, gap_s=1800, watermark="10 minutes")
+    ckpt = str(tmp_path_factory.mktemp("ckpt_dup"))
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("dup_sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dup_sessions_out").toPandas()
+
+    first_session = pdf[pdf.turn_idx < 20]
+    exp = (
+        first_session.groupby("conv_id")
+        .agg(n_turns=("turn_idx", "size"), total_chars=("text", lambda s: s.str.len().sum()))
+        .reset_index()
+    )
+    # only the first (closed) session per conv is emitted in append mode
+    assert len(got) == 3
+    merged = got.merge(exp, on="conv_id", suffixes=("_s", "_b"))
+    # every emitted session must carry the DEDUPED turn count (20), not the
+    # inflated delivery count (20 + re-deliveries)
     assert (merged["n_turns_s"] == merged["n_turns_b"]).all()
     assert (merged["total_chars_s"] == merged["total_chars_b"]).all()
 
