@@ -35,6 +35,38 @@ def max_rank(value: Column | str, partition_cols: list[str], descending: bool = 
     return F.when(v.isNotNull(), F.count(v).over(w)).otherwise(F.lit(None)).cast("int")
 
 
+def composite_rank(
+    df: DataFrame,
+    metric_cols: list[str],
+    period_cols: list[str],
+    descending: bool = True,
+    weights: list[float] | None = None,
+    out_col: str = "composite_rank",
+    keep_mean: bool = False,
+) -> DataFrame:
+    """Multi-metric composite rank (reference ``make_rank_cols``,
+    event_regular_season_game.py:74-77: offensive_rank / defensive_rank are
+    composites of six sub-metrics; the exact reference weighting is internal
+    to its unvendored package, so this specs a crisp rule): per-period
+    max-method rank of each metric, weighted mean of the sub-ranks, then the
+    max-method ASCENDING rank of that mean — lower mean sub-rank = better
+    composite position. All window passes share one (period) partitioning,
+    computed in place (no copy-and-re-join, deliberately unlike the
+    reference's J8).
+
+    A NULL in any sub-metric yields a NULL composite for that row (NULLs are
+    excluded from every rank count, pandas ``rank`` behavior)."""
+    subs = [max_rank(m, period_cols, descending) for m in metric_cols]
+    wts = weights or [1.0] * len(metric_cols)
+    total_w = sum(wts)
+    mean_rank: Column = subs[0] * F.lit(wts[0] / total_w)
+    for sub, wt in zip(subs[1:], wts[1:]):
+        mean_rank = mean_rank + sub * F.lit(wt / total_w)
+    df = df.withColumn("__mean_rank", mean_rank)
+    out = df.withColumn(out_col, max_rank(F.col("__mean_rank"), period_cols, descending=False))
+    return out.withColumnRenamed("__mean_rank", "mean_rank") if keep_mean else out.drop("__mean_rank")
+
+
 def rank_features(
     df: DataFrame,
     metric_cols: list[str],

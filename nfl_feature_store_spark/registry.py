@@ -968,6 +968,134 @@ def q35_elo_pairwise(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q36_salted_expanding(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew path (SURVEY.md §4.2.2): expanding mean under (entity, salt)
+    parallelism — quantile-derived range salt, per-chunk partials, broadcast
+    carry merge. Oracled against the PLAIN SQL expanding mean: the salted
+    decomposition must be invisible in the result. Integer-valued metric
+    (props length) keeps partial sums float-exact across engines."""
+    from nfl_feature_store_spark.operators.salted import salted_expanding_mean
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "ts", F.length(F.coalesce(F.col("props"), F.lit(""))).alias("plen")
+    )
+    out = salted_expanding_mean(ev, "plen", entity_col="user_id", order_cols=("ts", "event_id"), n_salt=8)
+    return out.select("event_id", _r("salted_expanding_plen", 6).alias("salted_expanding_plen"))
+
+
+Q36_SQL = """
+SELECT event_id,
+       floor((avg(length(coalesce(props, ''))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) * 1000000 + 0.5) / 1000000
+       AS salted_expanding_plen
+FROM events
+"""
+
+
+def q37_salted_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew path, rolling-k family: last-k-rows-of-previous-chunk carry.
+    n_salt=2 keeps every non-final chunk >= k rows for arbitrary per-user
+    event counts (the operator's contract; hot entities in production pick
+    n_salt <= n_rows/k)."""
+    from nfl_feature_store_spark.operators.salted import salted_rolling_mean
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "ts", F.length(F.coalesce(F.col("props"), F.lit(""))).alias("plen")
+    )
+    out = salted_rolling_mean(
+        ev, "plen", k=10, entity_col="user_id", order_cols=("ts", "event_id"), n_salt=2
+    )
+    return out.select("event_id", _r("salted_roll10_plen", 6).alias("salted_roll10_plen"))
+
+
+Q37_SQL = """
+SELECT event_id,
+       floor((avg(length(coalesce(props, ''))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)) * 1000000 + 0.5) / 1000000
+       AS salted_roll10_plen
+FROM events
+"""
+
+
+def q38_salted_ewm(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew path, EWM family: zero-seeded per-chunk partials + closed-form
+    carry merge (the ewma.py merge identity). Rows-only (unbounded recursion,
+    no ANSI frame); bit-near parity vs the unsalted kernel is pytest-pinned
+    (tests/test_salted_multimodal.py)."""
+    from nfl_feature_store_spark.operators.salted import salted_ewm
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", F.col("user_id").cast("string").alias("uid"), "ts", "value"
+    )
+    out = salted_ewm(ev, "value", span=10, entity_col="uid", order_cols=("ts", "event_id"), n_salt=4)
+    return out.select("event_id", _r("salted_ewma_value", 6).alias("salted_ewma_value"))
+
+
+def q39_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Sign-LSH approximate top-k (bucketed equi-join replaces the q25 cross
+    join). Rows-only: the xxhash64 hyperplane family isn't SQL-portable;
+    recall vs the q25 brute force is pytest-pinned
+    (tests/test_similarity_retrieval.py)."""
+    from nfl_feature_store_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), "embedding")
+    out = lsh_topk(emb, q, k=3, bits=4)
+    return out.select("qid", "neighbor_id", F.col("rnk").cast("long").alias("rnk"), _r("cosine", 6).alias("cosine"))
+
+
+def q40_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup candidate pairs: prefix-bucketed Hamming filter over
+    the 64-bit fingerprints. Rows-only (xxhash64 family); planted-near-dup
+    recovery is pytest-pinned (tests/test_similarity_retrieval.py)."""
+    from nfl_feature_store_spark.operators.dedup import simhash, simhash_near_pairs
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 1000)
+    fps = simhash(docs, id_col="doc_id", text_col="text").select("doc_id", "simhash64")
+    return simhash_near_pairs(fps, id_col="doc_id", max_hamming=16, prefix_bits=8)
+
+
+def q41_composite_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """W7 composite: per-period weighted mean of max-method sub-ranks, then
+    the ascending max-rank of the mean (reference make_rank_cols
+    offensive/defensive composite, event_regular_season_game.py:74-77) —
+    computed in place, no copy-and-re-join (J8 deliberately not copied)."""
+    from nfl_feature_store_spark.operators.rank import composite_rank
+
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy("user_id", F.substring("ts", 1, 10).alias("d")).agg(
+        F.sum(_cents("value")).alias("v_cents"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    out = composite_rank(daily, ["v_cents", "n_events"], ["d"], descending=True)
+    return out.select(
+        "user_id", "d", "v_cents", "n_events", F.col("composite_rank").cast("long").alias("composite_rank")
+    )
+
+
+Q41_SQL = """
+WITH daily AS (
+  SELECT user_id, substring(ts::VARCHAR, 1, 10) AS d,
+         sum(floor(value * 100 + 0.5)::BIGINT) AS v_cents,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+), sub AS (
+  SELECT *,
+         count(v_cents) OVER (PARTITION BY d ORDER BY v_cents DESC
+                              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r_v,
+         count(n_events) OVER (PARTITION BY d ORDER BY n_events DESC
+                               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r_n
+  FROM daily
+), m AS (
+  SELECT *, r_v * 0.5 + r_n * 0.5 AS mean_rank FROM sub
+)
+SELECT user_id, d, v_cents, n_events,
+       count(mean_rank) OVER (PARTITION BY d ORDER BY mean_rank ASC
+                              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS composite_rank
+FROM m
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1004,6 +1132,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_session_aggregates": q33_session_aggregates,
     "q34_career_agg": q34_career_agg,
     "q35_elo_pairwise": q35_elo_pairwise,
+    "q36_salted_expanding": q36_salted_expanding,
+    "q37_salted_rolling": q37_salted_rolling,
+    "q38_salted_ewm": q38_salted_ewm,
+    "q39_lsh_topk": q39_lsh_topk,
+    "q40_simhash_pairs": q40_simhash_pairs,
+    "q41_composite_rank": q41_composite_rank,
 }
 
 ORACLES: dict[str, str] = {
@@ -1037,5 +1171,9 @@ ORACLES: dict[str, str] = {
     "q32_calendar_rolling": Q32_SQL,
     "q33_session_aggregates": Q33_SQL,
     "q34_career_agg": Q34_SQL,
-    # q28-q31: rows-only (sequential recursions / engine-specific hash families)
+    "q36_salted_expanding": Q36_SQL,
+    "q37_salted_rolling": Q37_SQL,
+    "q41_composite_rank": Q41_SQL,
+    # q28-q31, q35, q38-q40: rows-only (sequential recursions /
+    # engine-specific hash families), each pinned by a pytest referee
 }

@@ -1,0 +1,116 @@
+"""Approximate-retrieval verification (round-1 VERDICT #3: lsh_topk and
+simhash_near_pairs shipped untested):
+
+* lsh_topk recall@10 against the q25-style brute-force cosine baseline on a
+  clustered embedding set — recall must clear a floor and be tunable via
+  ``bits`` (fewer bits = bigger buckets = higher recall).
+* simhash_near_pairs must recover planted near-duplicates (2 tokens changed
+  out of 80) and nothing else on a well-separated corpus.
+
+Everything here is deterministic: the hyperplanes/token hashes are xxhash64
+column expressions and the data is seeded, so thresholds are stable pins,
+not statistical hopes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from nfl_feature_store_spark.operators.dedup import simhash, simhash_near_pairs
+from nfl_feature_store_spark.operators.similarity import cosine_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def clustered_embeddings(spark):
+    rng = np.random.default_rng(17)
+    centers = rng.normal(0, 1, (8, 16))
+    pts = [centers[i % 8] + rng.normal(0, 0.25, 16) for i in range(400)]
+    emb = pd.DataFrame(
+        {"vec_id": np.arange(400), "embedding": [p.astype("float32").tolist() for p in pts]}
+    )
+    return spark.createDataFrame(emb).cache()
+
+
+def _recalls(exact: pd.DataFrame, approx: pd.DataFrame) -> list[float]:
+    out = []
+    for qid, g in exact.groupby("qid"):
+        e, a = set(g.neighbor_id), set(approx[approx.qid == qid].neighbor_id)
+        out.append(len(e & a) / len(e))
+    return out
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, clustered_embeddings):
+    sdf = clustered_embeddings
+    q = sdf.filter("vec_id < 20").selectExpr("vec_id as qid", "embedding")
+    exact = cosine_topk(sdf, q, k=10).toPandas()
+    assert exact.groupby("qid").size().eq(10).all()
+
+    approx4 = lsh_topk(sdf, q, k=10, bits=4).toPandas()
+    rec4 = _recalls(exact, approx4)
+    # measured 0.77 mean on this fixture; pin a floor with margin
+    assert float(np.mean(rec4)) >= 0.7
+
+    # recall is tunable: fewer bits => bigger buckets => higher recall
+    approx2 = lsh_topk(sdf, q, k=10, bits=2).toPandas()
+    approx6 = lsh_topk(sdf, q, k=10, bits=6).toPandas()
+    assert float(np.mean(_recalls(exact, approx2))) > float(np.mean(_recalls(exact, approx6)))
+
+    # scores are EXACT cosines (only the candidate set is approximate): every
+    # (qid, neighbor) the approximate path shares with the exact path agrees
+    merged = approx4.merge(exact, on=["qid", "neighbor_id"], suffixes=("_a", "_e"))
+    np.testing.assert_allclose(merged["cosine_a"], merged["cosine_e"], rtol=1e-12)
+
+
+def test_simhash_near_pairs_finds_planted_dups(spark):
+    words = [f"w{i}" for i in range(500)]
+    rng = np.random.default_rng(23)
+    docs, planted = [], []
+    for d in range(30):
+        docs.append((d, " ".join(rng.choice(words, 80))))
+    for j in range(8):
+        toks = docs[j][1].split()
+        toks[3], toks[40] = "changed", "also"  # 2/80 tokens differ
+        docs.append((100 + j, " ".join(toks)))
+        planted.append((j, 100 + j))
+    ddf = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+
+    fps = simhash(ddf, "doc_id", "text").select("doc_id", "simhash64")
+    pairs = simhash_near_pairs(fps, id_col="doc_id", max_hamming=10, prefix_bits=4).toPandas()
+
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert got == set(planted)  # all 8 planted near-dups, zero false pairs
+    assert (pairs["hamming"] <= 10).all()
+    assert (pairs["hamming"] >= 0).all()
+
+
+def test_composite_rank_matches_pandas(spark):
+    """Tie semantics of the composite: sub-ranks are method='max' descending;
+    the composite is method='max' ascending on the weighted mean."""
+    from nfl_feature_store_spark.operators.rank import composite_rank
+
+    pdf = pd.DataFrame(
+        {
+            "period": ["p1"] * 6 + ["p2"] * 3,
+            "m1": [10.0, 10.0, 7.0, 5.0, 5.0, 1.0, 3.0, 2.0, 1.0],
+            "m2": [1.0, 2.0, 3.0, 4.0, 4.0, 6.0, 9.0, 8.0, 7.0],
+        }
+    )
+    got = (
+        composite_rank(
+            spark.createDataFrame(pdf), ["m1", "m2"], ["period"], descending=True, keep_mean=True
+        )
+        .toPandas()
+        .sort_values(["period", "m1", "m2"])
+        .reset_index(drop=True)
+    )
+    r1 = pdf.groupby("period")["m1"].rank(method="max", ascending=False)
+    r2 = pdf.groupby("period")["m2"].rank(method="max", ascending=False)
+    pdf["mean_rank"] = (r1 + r2) / 2
+    pdf["composite_rank"] = (
+        pdf.groupby("period")["mean_rank"].rank(method="max", ascending=True).astype("int64")
+    )
+    exp = pdf.sort_values(["period", "m1", "m2"]).reset_index(drop=True)
+    np.testing.assert_allclose(got["mean_rank"], exp["mean_rank"])
+    assert got["composite_rank"].tolist() == exp["composite_rank"].tolist()
