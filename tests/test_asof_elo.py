@@ -111,6 +111,108 @@ def test_elo_per_entity_matches_referee(spark):
         np.testing.assert_allclose(grp["elo_pre"].to_numpy(), exp, rtol=1e-12)
 
 
+def _pairwise_referee(matches: pd.DataFrame, k=20.0, init=1500.0) -> pd.DataFrame:
+    """Bucket-synchronous pairwise Elo: pre-ratings frozen within a bucket."""
+    ratings: dict = {}
+    rows = []
+    for b in sorted(matches["bucket"].unique()):
+        grp = matches[matches["bucket"] == b]
+        pre = {e: ratings.get(e, init) for e in pd.concat([grp["home"], grp["away"]])}
+        for _, m in grp.iterrows():
+            ph, pa = pre[m["home"]], pre[m["away"]]
+            prob = 1.0 / (1.0 + 10.0 ** (-(ph - pa) / 400.0))
+            rows.append((m["match_id"], ph, pa, prob))
+            d = k * (m["outcome"] - prob)
+            ratings[m["home"]] = ratings.get(m["home"], init) + d
+            ratings[m["away"]] = ratings.get(m["away"], init) - d
+    return pd.DataFrame(rows, columns=["match_id", "pre_h", "pre_a", "prob_h"])
+
+
+def _league_fixture(n_buckets=20, n_pairs=6, seed=13) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    rows = []
+    mid = 0
+    for b in range(n_buckets):
+        perm = rng.permutation(n_pairs * 2)
+        for p in range(n_pairs):
+            rows.append(
+                (
+                    f"t{perm[2 * p]:02d}",
+                    f"t{perm[2 * p + 1]:02d}",
+                    float(rng.integers(0, 2)),
+                    f"b{b:03d}",
+                    mid,
+                )
+            )
+            mid += 1
+    return pd.DataFrame(rows, columns=["home", "away", "outcome", "bucket", "match_id"])
+
+
+def test_elo_pairwise_never_collects_match_stream(spark):
+    """Round-1 VERDICT #1: driver memory must be bounded per bucket, not by
+    total history. toPandas on ANY DataFrame is poisoned for the duration of
+    the call — the bucket loop must go through toLocalIterator."""
+    from pyspark.sql import DataFrame as SparkDataFrame
+
+    matches = _league_fixture()
+    sdf = spark.createDataFrame(matches)
+
+    orig = SparkDataFrame.toPandas
+
+    def boom(self):
+        raise AssertionError("elo_pairwise collected a whole DataFrame via toPandas")
+
+    SparkDataFrame.toPandas = boom
+    try:
+        out_df = elo_pairwise(sdf, "home", "away", "outcome", "bucket", k=20.0)
+    finally:
+        SparkDataFrame.toPandas = orig
+
+    got = out_df.toPandas().sort_values("match_id").reset_index(drop=True)
+    exp = _pairwise_referee(matches).sort_values("match_id").reset_index(drop=True)
+    np.testing.assert_allclose(got["elo_pre_home"], exp["pre_h"], rtol=1e-12)
+    np.testing.assert_allclose(got["elo_pre_away"], exp["pre_a"], rtol=1e-12)
+    np.testing.assert_allclose(got["elo_prob_home"], exp["prob_h"], rtol=1e-12)
+
+
+def test_elo_pairwise_resumes_from_manifest(spark, tmp_path):
+    """Ratings checkpoint per bucket: a run over the first half, then a run
+    over the full stream with the same manifest, must (a) skip the completed
+    buckets' driver iteration (manifest gains exactly the remaining entries)
+    and (b) reproduce the uninterrupted result bit-for-bit."""
+    from nfl_feature_store_spark.plans.checkpoint import PartitionManifest
+
+    matches = _league_fixture(n_buckets=10)
+    sdf = spark.createDataFrame(matches)
+    path = str(tmp_path / "elo_manifest.jsonl")
+
+    fresh = (
+        elo_pairwise(sdf, "home", "away", "outcome", "bucket", k=20.0)
+        .toPandas()
+        .sort_values("match_id")
+        .reset_index(drop=True)
+    )
+
+    half = sdf.filter(F.col("bucket") < "b005")
+    m1 = PartitionManifest(path)
+    elo_pairwise(half, "home", "away", "outcome", "bucket", k=20.0, manifest=m1).count()
+    with open(path) as f:
+        assert sum(1 for _ in f) == 5  # five buckets checkpointed
+
+    m2 = PartitionManifest(path)
+    resumed = (
+        elo_pairwise(sdf, "home", "away", "outcome", "bucket", k=20.0, manifest=m2)
+        .toPandas()
+        .sort_values("match_id")
+        .reset_index(drop=True)
+    )
+    with open(path) as f:
+        assert sum(1 for _ in f) == 10  # only the 5 remaining buckets re-ran
+
+    for c in ("elo_pre_home", "elo_pre_away", "elo_prob_home"):
+        np.testing.assert_array_equal(resumed[c].to_numpy(), fresh[c].to_numpy())
+
+
 def test_elo_pairwise_probabilities_and_updates(spark):
     matches = pd.DataFrame(
         {
