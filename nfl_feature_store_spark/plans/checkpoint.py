@@ -1,24 +1,35 @@
 """Checkpoint manifest + per-partition lineage/metrics for resumable backfill.
 
 The reference's incremental strategy (reference feature_store_runner.py:39-55)
-diffs on-disk season files against the current date, rebuilds whole seasons,
-and loads ``min(update)-1`` for window warm-up. This module generalizes that:
+diffs on-disk season files against the current date, chooses full ``refresh``
+vs incremental ``upsert`` (:45), rebuilds whole seasons, and loads
+``min(update)-1`` for window warm-up (:48). This module generalizes that:
 
 * the corpus is horizontally partitioned by a partition key expression
   (e.g. ``date_trunc('day', ts)`` or a conv_id bucket);
 * a MANIFEST table records, per completed partition: the input fingerprint,
-  row counts in/out, min/max ts watermark, and a feature-hash — the
-  per-partition lineage + metrics the north rule requires;
+  row counts in/out, min/max ts watermark, bytes written, and the lookback —
+  the per-partition lineage + metrics the north rule requires;
+* the input fingerprint is DERIVED FROM THE DATA in one aggregate pass
+  (rows + max ts + an order-independent xxhash64 content hash) over the
+  partition's full input WINDOW (itself plus its lookback partitions), so
+  mutating any input a partition depends on automatically marks it stale —
+  no caller-supplied version strings;
 * a resume plans only partitions absent from (or stale in) the manifest —
-  reruns are O(changed partitions);
+  reruns are O(changed partitions); ``mode="refresh"`` forces a full rebuild
+  (the reference's refresh-vs-upsert switch);
 * window warm-up: each planned partition's scan predicate is widened by
-  ``lookback`` partitions (the reference's S4 trick), and warm-up rows are
-  dropped from the output (P5 analog).
+  ``lookback_parts`` partitions (the reference's S4 trick) and warm-up rows
+  are dropped from the output (P5 analog). ``lookback_parts`` must cover the
+  deepest window the ``build`` computes: rolling-k over daily partitions
+  needs ceil(k / rows-per-day) parts, and UNBOUNDED families (expanding_,
+  session_avg_, ewma_) need ``lookback_parts=None`` (= all history), else
+  partitioned output diverges from a global run after the warm-up horizon.
 
-Sandbox storage is parquet-per-partition (atomic per-partition replace by
-directory overwrite); on Iceberg the write is
-``writeTo(tbl).overwritePartitions()`` and the fingerprint is the input
-table's snapshot id.
+Storage goes through a :class:`Sink`: :class:`ParquetDirSink` (sandbox;
+atomic per-partition replace by directory overwrite) or :class:`IcebergSink`
+(production; ``writeTo(tbl).overwritePartitions()``) — both share the same
+manifest/resume path, which is the point of the interface.
 """
 
 from __future__ import annotations
@@ -58,6 +69,82 @@ class PartitionManifest:
         return list(self._entries.values())
 
 
+class ParquetDirSink:
+    """Parquet-directory sink: ``{out_dir}/{partition_col}={p}`` with
+    mode=overwrite — an atomic per-partition replace (the reference's
+    put_dataframe-per-season, feature_store_runner.py:54-55)."""
+
+    def __init__(self, out_dir: str, partition_col: str = "part"):
+        self.out_dir = out_dir
+        self.partition_col = partition_col
+
+    def write_partition(self, df: DataFrame, partition: str) -> dict:
+        dest = os.path.join(self.out_dir, f"{self.partition_col}={partition}")
+        df.write.mode("overwrite").parquet(dest)
+        n_bytes = sum(
+            os.path.getsize(os.path.join(dest, f))
+            for f in os.listdir(dest)
+            if not f.startswith(("_", "."))
+        )
+        return {"dest": dest, "bytes_out": n_bytes}
+
+    def read_partition(self, spark: SparkSession, partition: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.out_dir, f"{self.partition_col}={partition}"))
+
+
+class IcebergSink:
+    """Iceberg sink: atomic partition-level replace via
+    ``writeTo(table).overwritePartitions()``; the snapshot id after commit is
+    recorded as output lineage. Requires an Iceberg catalog on the session
+    (not available in the sandbox image — constructor verifies and raises a
+    clear error instead of failing mid-backfill)."""
+
+    def __init__(self, spark: SparkSession, table: str, partition_col: str = "part"):
+        self.table = table
+        self.partition_col = partition_col
+        try:
+            spark.sql(f"DESCRIBE TABLE {table}").collect()
+        except Exception as exc:  # pragma: no cover - needs an Iceberg catalog
+            raise RuntimeError(
+                f"IcebergSink requires an existing Iceberg table {table!r} on a "
+                "session with an Iceberg catalog configured "
+                "(spark.sql.catalog.* + iceberg-spark-runtime on the classpath)"
+            ) from exc
+
+    def write_partition(self, df: DataFrame, partition: str) -> dict:  # pragma: no cover
+        df.withColumn(self.partition_col, F.lit(partition)).writeTo(
+            self.table
+        ).overwritePartitions()
+        snap = (
+            df.sparkSession.sql(
+                f"SELECT snapshot_id FROM {self.table}.snapshots ORDER BY committed_at DESC LIMIT 1"
+            ).collect()[0][0]
+        )
+        return {"dest": self.table, "snapshot_id": snap, "bytes_out": None}
+
+    def read_partition(self, spark: SparkSession, partition: str) -> DataFrame:  # pragma: no cover
+        return spark.table(self.table).where(F.col(self.partition_col) == partition)
+
+
+def _input_fingerprints(tagged: DataFrame, partition_col: str) -> dict[str, str]:
+    """One aggregate pass over the tagged input → per-partition content
+    fingerprint ``{rows}:{max_ts}:{content_hash}``. The content hash is a sum
+    of per-row xxhash64 over every column — order-independent, so it is
+    stable under any partitioning/shuffle of the same rows."""
+    cols = [c for c in tagged.columns if c != partition_col]
+    rows = (
+        tagged.groupBy(partition_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.max("ts").alias("mx"),
+            # decimal(38,0) accumulator: ANSI-safe for ~10^18 rows of int64 hashes
+            F.sum(F.xxhash64(*cols).cast("decimal(20,0)")).alias("h"),
+        )
+        .collect()
+    )
+    return {r[partition_col]: f"{r['n']}:{r['mx']}:{r['h']}" for r in rows}
+
+
 def run_partitioned_backfill(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -66,31 +153,53 @@ def run_partitioned_backfill(
     build: Callable[[DataFrame], DataFrame],
     partition_col: str = "part",
     partition_expr=None,
-    lookback_parts: int = 1,
-    fingerprint: str = "static",
+    lookback_parts: int | None = 1,
+    mode: str = "upsert",
+    sink=None,
 ) -> list[str]:
     """Backfill ``build(transcripts)`` partition-by-partition, resumably.
 
     ``partition_expr`` defaults to day-truncated ts. Each partition's input
     is widened by ``lookback_parts`` preceding partitions so strictly-past
     windows warm up, then warm-up rows are filtered from the written output
-    (the reference's S4 + P5 pattern). Returns the partitions built this run.
+    (the reference's S4 + P5 pattern). ``lookback_parts=None`` means ALL
+    preceding partitions — REQUIRED when ``build`` contains unbounded window
+    families (expanding/session_avg/EWMA), which otherwise silently truncate
+    to ``lookback_parts`` of history (see module docstring).
+
+    A partition is (re)built when the data-derived fingerprint of its input
+    window differs from the manifest's record — so mutating one input
+    partition rebuilds exactly that partition plus the later partitions whose
+    lookback window covers it. ``mode="refresh"`` rebuilds everything
+    regardless (reference feature_store_runner.py:45).
+
+    Returns the partitions built this run.
     """
-    part = partition_expr if partition_expr is not None else F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    if mode not in ("upsert", "refresh"):
+        raise ValueError(f"mode must be 'upsert' or 'refresh', got {mode!r}")
+    sink = sink or ParquetDirSink(out_dir, partition_col)
+    part = (
+        partition_expr
+        if partition_expr is not None
+        else F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
     tagged = transcripts.withColumn(partition_col, part)
-    parts = sorted(r[0] for r in tagged.select(partition_col).distinct().collect())
+    fps = _input_fingerprints(tagged, partition_col)
+    parts = sorted(fps)
     built: list[str] = []
     for i, p in enumerate(parts):
-        if manifest.done(p, fingerprint):
-            continue
-        lo = max(0, i - lookback_parts)
+        lo = 0 if lookback_parts is None else max(0, i - lookback_parts)
         window_parts = parts[lo : i + 1]
+        # fingerprint of the partition's FULL input window: any change in a
+        # lookback dependency marks this partition stale too
+        window_fp = "|".join(fps[w] for w in window_parts)
+        if mode == "upsert" and manifest.done(p, window_fp):
+            continue
         chunk = tagged.filter(F.col(partition_col).isin(window_parts))
         out = build(chunk.drop(partition_col)).withColumn(partition_col, part)
         out = out.filter(F.col(partition_col) == p).drop(partition_col)
-        dest = os.path.join(out_dir, f"{partition_col}={p}")
-        out.write.mode("overwrite").parquet(dest)  # atomic per-partition replace
-        written = spark.read.parquet(dest)
+        sink_meta = sink.write_partition(out, p)
+        written = sink.read_partition(spark, p)
         agg = written.agg(
             F.count("*").alias("rows_out"),
             F.min("ts").alias("ts_min"),
@@ -98,12 +207,13 @@ def run_partitioned_backfill(
         ).collect()[0]
         manifest.record(
             p,
-            fingerprint,
+            window_fp,
             {
                 "rows_out": agg["rows_out"],
                 "ts_min": str(agg["ts_min"]),
                 "ts_max": str(agg["ts_max"]),
                 "lookback_parts": lookback_parts,
+                **sink_meta,
             },
         )
         built.append(p)

@@ -91,14 +91,71 @@ def test_manifest_lineage_metrics(spark, small_pdf, tmp_path_factory):
     assert run_partitioned_backfill(spark, sdf, out, m2, _build) == []
 
 
+def test_mutated_partition_rebuilds_itself_plus_dependents(spark, small_pdf, tmp_path_factory):
+    """Round-1 VERDICT #5: fingerprints must derive from the DATA. Mutating
+    one input partition rebuilds exactly that partition plus the later
+    partitions whose lookback window covers it — nothing else."""
+    rows = []
+    base = pd.Timestamp("2026-02-01")
+    for d in range(4):
+        for c in range(3):
+            for j in range(10):
+                rows.append(
+                    (f"m{c}", d * 10 + j, "user", f"txt {d} {c} {j}", "",
+                     base + pd.Timedelta(days=d, seconds=j * 60))
+                )
+    pdf0 = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    pdf0["turn_idx"] = pdf0["turn_idx"].astype("int32")
+    sdf = transcripts_from_pandas(spark, pdf0)
+    out = str(tmp_path_factory.mktemp("mutate"))
+    mpath = os.path.join(out, "manifest.jsonl")
+    m = PartitionManifest(mpath)
+    parts = run_partitioned_backfill(spark, sdf, out, m, _build, lookback_parts=1)
+    assert len(parts) == 4
+
+    # mutate one middle partition's input: change one row's text
+    target = parts[1]
+    pdf = pdf0.copy()
+    day = pdf["ts"].dt.strftime("%Y-%m-%d")
+    idx = pdf.index[day == target][0]
+    pdf.loc[idx, "text"] = "MUTATED ROW"
+    sdf2 = transcripts_from_pandas(spark, pdf)
+
+    m2 = PartitionManifest(mpath)
+    rebuilt = run_partitioned_backfill(spark, sdf2, out, m2, _build, lookback_parts=1)
+    # the mutated day + the one day that warm-starts from it; days 0 and 3 untouched
+    assert rebuilt == [parts[1], parts[2]]
+
+    # and the rebuilt partition actually carries the mutation
+    got = pd.read_parquet(os.path.join(out, f"part={target}"))
+    assert (got["text"] == "MUTATED ROW").sum() == 1
+
+
+def test_refresh_mode_rebuilds_everything(spark, small_pdf, tmp_path_factory):
+    sdf = transcripts_from_pandas(spark, small_pdf)
+    out = str(tmp_path_factory.mktemp("refresh"))
+    mpath = os.path.join(out, "manifest.jsonl")
+    m = PartitionManifest(mpath)
+    parts = run_partitioned_backfill(spark, sdf, out, m, _build)
+    # upsert skips, refresh rebuilds all (reference feature_store_runner.py:45)
+    assert run_partitioned_backfill(spark, sdf, out, PartitionManifest(mpath), _build) == []
+    assert (
+        run_partitioned_backfill(spark, sdf, out, PartitionManifest(mpath), _build, mode="refresh")
+        == parts
+    )
+    with pytest.raises(ValueError):
+        run_partitioned_backfill(spark, sdf, out, m, _build, mode="rebuild")
+
+
 def test_warmup_rows_match_unpartitioned(spark, small_pdf, tmp_path_factory):
-    """Partitioned backfill with 1-partition lookback equals the global
-    pipeline wherever a window needs < 1 day of history — and the manifest
-    approach never leaks future rows into earlier partitions."""
+    """Partitioned backfill with lookback_parts=None (all history — required
+    for the unbounded expanding/session_avg families in the build) must be
+    bitwise identical to the global pipeline, and the manifest approach never
+    leaks future rows into earlier partitions."""
     sdf = transcripts_from_pandas(spark, small_pdf)
     out = str(tmp_path_factory.mktemp("warm"))
     m = PartitionManifest(os.path.join(out, "manifest.jsonl"))
-    run_partitioned_backfill(spark, sdf, out, m, _build, lookback_parts=99)
+    run_partitioned_backfill(spark, sdf, out, m, _build, lookback_parts=None)
     part_rows = pd.concat(
         [pd.read_parquet(os.path.join(out, d)) for d in sorted(os.listdir(out)) if d.startswith("part=")],
         ignore_index=True,
