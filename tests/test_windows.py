@@ -96,3 +96,45 @@ def test_partitioning_invariance(spark, transcripts_pdf):
             assert (a[col].fillna("").values == b[col].fillna("").values).all() if a[col].dtype == object else (
                 a[col].values == b[col].values
             ).all(), col
+
+
+def test_ewma_reset_col_reseeds_per_period(spark):
+    """Round-1 VERDICT #8: the reset_col knob (reference-style season-boundary
+    reseeding, SURVEY.md W5) — the EWM recursion must restart at each period
+    boundary, exactly matching a pandas groupby([entity, period]) referee."""
+    from nfl_feature_store_spark.operators.ewma import with_ewma
+    from nfl_feature_store_spark.sources.transcripts import transcripts_from_pandas
+
+    rng = np.random.default_rng(29)
+    rows = []
+    base = pd.Timestamp("2026-04-01")
+    for c in range(6):
+        for j in range(40):
+            rows.append(
+                (f"r{c}", j, "user", "x" * int(rng.integers(1, 200)), "",
+                 base + pd.Timedelta(seconds=c * 13 + j * 60), j // 15)  # period flips every 15 turns
+            )
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts", "season"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["chars"] = pdf["text"].str.len()
+
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        with_ewma(sdf, metrics=("chars",), span=10, reset_col="season")
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    ref = pdf.sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
+    exp = (
+        ref.groupby(["conv_id", "season"], sort=False)["chars"]
+        .apply(lambda s: s.shift(1).ewm(span=10, adjust=False).mean())
+        .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(
+        got["ewma_chars"].to_numpy(dtype=float), exp.to_numpy(dtype=float),
+        rtol=1e-12, equal_nan=True,
+    )
+    # the reseed is real: the first row of every later period is NaN again
+    firsts = got[(got["turn_idx"] % 15 == 0)]
+    assert firsts["ewma_chars"].isna().all()
