@@ -9,15 +9,21 @@ Default mode (what the round driver runs): executes the headline queries at
      "queries": {"flagship_backfill": sec, ...}, "sf": 0.1,
      "backfill_turns_per_sec": N, "cores": 32}
 
-Scaling mode (``--scaling``): generates a deterministic ~20M-turn transcript
+Scaling mode (``--scaling``): generates a deterministic ~80M-turn transcript
 corpus once (size via $SPARK_GRAFT_SCALE_CONVS), then runs the flagship
 backfill in two SEPARATE, taskset-pinned JVMs at the core pair from
 $SPARK_GRAFT_SCALE_CORES (default "8,32" — the sandbox stand-in for N vs 4N
 executors, per BASELINE.md), with $SPARK_GRAFT_COOLDOWN seconds of idle
 before each child (the host throttles sustained load — see
-BENCH/BASELINE.md appendix). Reports throughput at both and the scaling
+BENCH/BASELINE.md appendix). Each child reports a host-throttle calibration
+number alongside its timing. Reports throughput at both and the scaling
 efficiency (tp_hi / tp_lo) / (hi / lo); set SPARK_GRAFT_WRITE_MD=1 to let it
 rewrite the hand-curated BENCH/BASELINE.md.
+
+Stages mode (``--stages``): per-stage Amdahl probe at both core counts on a
+smaller (~20M-turn) corpus — cumulative times for scan → sessionize →
+windows → full backfill, isolating the bandwidth-bound scan from the
+thread-scaling stages.
 
 Every timed query is materialized through the noop sink so ALL columns are
 computed (a bare count() would let Catalyst prune the feature expressions).
@@ -36,12 +42,30 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# ~80M turns (4x round 1): a bigger W shrinks the fixed term s in the Amdahl
+# ratio; the host replenishes a CPU-quota budget, so runs must still stay
+# bounded or later iterations execute throttled and poison the comparison
+SCALING_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "2000000"))
 SCALING_CORPUS = os.environ.get(
-    "SPARK_GRAFT_SCALE_CORPUS", "/tmp/spark_graft_bench/transcripts_20m.parquet"
+    "SPARK_GRAFT_SCALE_CORPUS",
+    f"/tmp/spark_graft_bench/transcripts_{SCALING_CONVS}.parquet",
 )
-SCALING_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "500000"))  # ~20M turns: the host replenishes a CPU-quota budget, so runs must
-# stay short or later iterations execute throttled and poison the comparison
-COOLDOWN_S = int(os.environ.get("SPARK_GRAFT_COOLDOWN", "90"))
+# per-stage probes run on a smaller corpus so the slow local[8] prefix
+# measurements stay inside the host's unthrottled window
+STAGES_CONVS = int(os.environ.get("SPARK_GRAFT_STAGE_CONVS", "500000"))
+STAGES_CORPUS = f"/tmp/spark_graft_bench/transcripts_{STAGES_CONVS}.parquet"
+COOLDOWN_S = int(os.environ.get("SPARK_GRAFT_COOLDOWN", "120"))
+
+
+def _calibrate() -> float:
+    """Host-throttle canary: a 20M-iteration pure-Python loop runs ~2.9s on
+    a cool host and >5s when the CPU quota is drained (BENCH/BASELINE.md
+    appendix). Recorded with every measurement for disclosure."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    return round(time.perf_counter() - t0, 2)
 
 # headline set: the flagship product pipeline + one representative of each
 # expensive operator class from the registry
@@ -131,23 +155,24 @@ def run_headline(cores: int) -> dict:
     }
 
 
-def _gen_scaling_corpus() -> None:
-    if os.path.exists(SCALING_CORPUS):
+def _gen_corpus(path: str, n_convs: int) -> None:
+    if os.path.exists(path):
         return
     from nfl_feature_store_spark.session import get_spark
     from nfl_feature_store_spark.sources.transcripts import gen_transcripts_distributed
 
     spark = get_spark(app_name="gen", master="local[32]", shuffle_partitions=64)
-    df = gen_transcripts_distributed(spark, n_convs=SCALING_CONVS, avg_turns=33, seed=42, partitions=64)
-    df.write.mode("overwrite").parquet(SCALING_CORPUS)
+    df = gen_transcripts_distributed(spark, n_convs=n_convs, avg_turns=33, seed=42, partitions=64)
+    df.write.mode("overwrite").parquet(path)
     spark.stop()
 
 
 def run_scaling_child(cores: int) -> None:
-    """Child process: backfill the fixed 2M-turn corpus, print JSON."""
+    """Child process: backfill the fixed corpus once, print JSON."""
     from nfl_feature_store_spark.plans.pipeline import backfill_features
     from nfl_feature_store_spark.session import get_spark
 
+    calib = _calibrate()
     spark = get_spark(
         app_name=f"scale{cores}",
         master=f"local[{cores}]",
@@ -162,7 +187,57 @@ def run_scaling_child(cores: int) -> None:
     t0 = time.perf_counter()
     _noop(backfill_features(df, rank_metric=None))
     dt = time.perf_counter() - t0
-    print(json.dumps({"cores": cores, "turns": n, "sec": round(dt, 3), "turns_per_sec": round(n / dt, 1)}))
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "turns": n,
+                "sec": round(dt, 3),
+                "turns_per_sec": round(n / dt, 1),
+                "calib_sec": calib,
+            }
+        )
+    )
+    spark.stop()
+
+
+def run_stages_child(cores: int) -> None:
+    """Per-stage Amdahl probe on the smaller stage corpus: materialize
+    successive pipeline prefixes through the noop sink; stage costs are the
+    deltas. Isolates the bandwidth-bound scan from the thread-scaling
+    window/EWMA stages (round-2 VERDICT ask #7)."""
+    from nfl_feature_store_spark.functions.turn_metrics import dedup_latest, with_turn_metrics
+    from nfl_feature_store_spark.operators.sessionize import sessionize
+    from nfl_feature_store_spark.operators.windows import FeatureSpec, compile_window_features
+    from nfl_feature_store_spark.plans.pipeline import backfill_features
+    from nfl_feature_store_spark.session import get_spark
+
+    calib = _calibrate()
+    spark = get_spark(
+        app_name=f"stages{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores * 3,
+        extra_conf={"spark.driver.memory": "48g"},
+    )
+    _warm(spark, cores)
+    df = spark.read.parquet(STAGES_CORPUS)
+    n = df.count()
+
+    def timed(make):
+        t0 = time.perf_counter()
+        _noop(make())
+        return round(time.perf_counter() - t0, 3)
+
+    spec = FeatureSpec()
+    prefix_sess = lambda: sessionize(with_turn_metrics(dedup_latest(df)))  # noqa: E731
+    prefix_wins = lambda: compile_window_features(prefix_sess(), spec)  # noqa: E731
+    t = {
+        "scan": timed(lambda: df),
+        "thru_sessionize": timed(prefix_sess),
+        "thru_windows": timed(prefix_wins),
+        "full_with_ewma": timed(lambda: backfill_features(df, rank_metric=None)),
+    }
+    print(json.dumps({"cores": cores, "turns": n, "stages_cum_sec": t, "calib_sec": calib}))
     spark.stop()
 
 
@@ -171,20 +246,22 @@ SCALE_PAIR = tuple(
 )
 
 
+def _run_child(mode: str, cores: int) -> dict:
+    time.sleep(COOLDOWN_S)  # let the host CPU-quota budget replenish
+    # pin the child to exactly N host CPUs: without this the "8-core" run
+    # borrows extra cores for GC/python workers/shuffle threads and
+    # overstates the N-core baseline
+    cmd = [sys.executable, os.path.abspath(__file__), mode, str(cores)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=REPO)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
 def run_scaling() -> dict:
-    _gen_scaling_corpus()
-    results = {}
-    for cores in SCALE_PAIR:
-        time.sleep(COOLDOWN_S)  # let the host CPU-quota budget replenish
-        # pin the child to exactly N host CPUs: without this the "8-core" run
-        # borrows extra cores for GC/python workers/shuffle threads and
-        # overstates the N-core baseline
-        cmd = [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cores)]
-        if os.path.exists("/usr/bin/taskset"):
-            cmd = ["/usr/bin/taskset", "-c", f"0-{cores - 1}"] + cmd
-        out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=REPO)
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
+    _gen_corpus(SCALING_CORPUS, SCALING_CONVS)
+    results = {c: _run_child("--scaling-child", c) for c in SCALE_PAIR}
     lo, hi = SCALE_PAIR
     tp_lo, tp_hi = results[lo]["turns_per_sec"], results[hi]["turns_per_sec"]
     eff = round((tp_hi / tp_lo) / (hi / lo), 3)
@@ -192,6 +269,11 @@ def run_scaling() -> dict:
     if os.environ.get("SPARK_GRAFT_WRITE_MD", "0") == "1":
         _write_bench_md(summary)  # BENCH/BASELINE.md is otherwise hand-curated
     return summary
+
+
+def run_stages() -> dict:
+    _gen_corpus(STAGES_CORPUS, STAGES_CONVS)
+    return {c: _run_child("--stages-child", c) for c in SCALE_PAIR}
 
 
 def _write_bench_md(s: dict) -> None:
@@ -219,7 +301,11 @@ def _write_bench_md(s: dict) -> None:
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         run_scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
+    elif "--stages-child" in sys.argv:
+        run_stages_child(int(sys.argv[sys.argv.index("--stages-child") + 1]))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stages" in sys.argv:
+        print(json.dumps(run_stages()))
     else:
         print(json.dumps(run_headline(CPUS)))

@@ -66,6 +66,7 @@ def elo_per_entity(
     out_col: str = "elo_pre",
     presorted: bool = False,
     num_partitions: int | None = None,
+    max_partition_rows: int | None = None,
 ) -> DataFrame:
     """Per-entity cumulative rating before each event (parallel by entity).
 
@@ -73,7 +74,8 @@ def elo_per_entity(
     operators/ewma.py: per-group applyInPandas pays ~10ms Arrow overhead per
     conversation — ruinous at 10^9 entities). Within a partition, group
     boundaries are found once on the sorted entity column and the sequential
-    scan runs per slice on raw numpy arrays.
+    scan runs per slice on raw numpy arrays. ``max_partition_rows`` is the
+    same fail-fast memory tripwire as with_ewma's.
     """
     from collections.abc import Iterator
 
@@ -87,6 +89,11 @@ def elo_per_entity(
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        if max_partition_rows is not None and len(pdf) > max_partition_rows:
+            raise ValueError(
+                f"elo_per_entity partition holds {len(pdf)} rows > max_partition_rows="
+                f"{max_partition_rows}; raise num_partitions or thin the projection"
+            )
         pdf = pdf.sort_values([entity_col] + order, kind="mergesort", ignore_index=True)
         outcomes = pdf[outcome_col].astype("float64").to_numpy()
         opp = (

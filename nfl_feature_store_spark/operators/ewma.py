@@ -52,8 +52,15 @@ def with_ewma(
     prefix: str = "ewma_",
     presorted: bool = False,
     num_partitions: int | None = None,
+    max_partition_rows: int | None = None,
 ) -> DataFrame:
-    """Attach ``ewma_{m}`` per metric: span-EWM of the lag-1 series per entity."""
+    """Attach ``ewma_{m}`` per metric: span-EWM of the lag-1 series per entity.
+
+    ``max_partition_rows`` is an executor-side memory tripwire: the kernel
+    materializes one partition in pandas by design (see module docstring), so
+    a partition blown up by a pathologically hot entity should FAIL FAST with
+    guidance (route the hot entity through operators/salted.py salted_ewm, or
+    raise num_partitions) rather than OOM the worker."""
     out_schema = T.StructType(
         list(df.schema.fields)
         + [T.StructField(f"{prefix}{m}", T.DoubleType(), True) for m in metrics]
@@ -66,6 +73,12 @@ def with_ewma(
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        if max_partition_rows is not None and len(pdf) > max_partition_rows:
+            raise ValueError(
+                f"with_ewma partition holds {len(pdf)} rows > max_partition_rows="
+                f"{max_partition_rows}; a hot entity this size belongs in "
+                "operators.salted.salted_ewm, or raise num_partitions"
+            )
         if not presorted:
             pdf = pdf.sort_values([entity_col] + order, kind="mergesort", ignore_index=True)
         if not isinstance(pdf.index, pd.RangeIndex):

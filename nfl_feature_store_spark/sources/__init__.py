@@ -5,6 +5,7 @@ from nfl_feature_store_spark.sources.transcripts import (
     transcripts_from_pandas,
 )
 from nfl_feature_store_spark.sources.tables import load_table, register_views
+from nfl_feature_store_spark.sources.staged_csv import stage_csv_dim
 
 __all__ = [
     "TRANSCRIPT_SCHEMA",
@@ -13,4 +14,5 @@ __all__ = [
     "transcripts_from_pandas",
     "load_table",
     "register_views",
+    "stage_csv_dim",
 ]

@@ -1,0 +1,75 @@
+"""Staged CSV dimension ingestion (S2) and the partition-memory tripwires
+on the pandas-kernel operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+from pyspark.sql.utils import PythonException
+
+from nfl_feature_store_spark.sources.staged_csv import stage_csv_dim
+
+
+def test_stage_csv_dim_types_and_dedup(spark, tmp_path):
+    csv = tmp_path / "players.csv"
+    csv.write_text(
+        "player_id,name,team,scrape_date\n"
+        "p1,Alice,KC,2026-01-01\n"
+        "p1,Alice Updated,KC,2026-02-01\n"  # later scrape wins
+        "p2,Bob,DET,2026-01-15\n"
+        ",Ghost,NYJ,2026-01-10\n"  # NULL key dropped
+    )
+    schema = T.StructType(
+        [
+            T.StructField("player_id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("team", T.StringType()),
+            T.StructField("scrape_date", T.DateType()),
+        ]
+    )
+    dest = str(tmp_path / "dim_players")
+    dim = stage_csv_dim(
+        spark, str(csv), dest, schema=schema,
+        key_col="player_id", dedup_keep_last_by="scrape_date",
+    )
+    got = dim.toPandas().sort_values("player_id").reset_index(drop=True)
+    assert got["player_id"].tolist() == ["p1", "p2"]
+    assert got.loc[0, "name"] == "Alice Updated"
+    assert str(dim.schema["scrape_date"].dataType) == "DateType()"
+    # staged output is what downstream reads (storage, not the CSV)
+    assert spark.read.parquet(dest).count() == 2
+
+
+def _hot_df(spark, n=2000):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["hot"] * n,
+            "turn_idx": np.arange(n, dtype="int32"),
+            "ts": pd.Timestamp("2026-01-01") + pd.to_timedelta(np.arange(n), unit="s"),
+            "chars": np.arange(n, dtype="float64"),
+            "outcome": (np.arange(n) % 2).astype("float64"),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_ewma_partition_tripwire(spark):
+    from nfl_feature_store_spark.operators.ewma import with_ewma
+
+    df = _hot_df(spark)
+    out = with_ewma(df, metrics=("chars",), max_partition_rows=100)
+    with pytest.raises(PythonException, match="salted_ewm"):
+        out.count()
+    # generous bound: runs fine
+    assert with_ewma(df, metrics=("chars",), max_partition_rows=10_000).count() == 2000
+
+
+def test_elo_partition_tripwire(spark):
+    from nfl_feature_store_spark.operators.elo import elo_per_entity
+
+    df = _hot_df(spark)
+    out = elo_per_entity(df, outcome_col="outcome", max_partition_rows=100)
+    with pytest.raises(PythonException, match="max_partition_rows"):
+        out.count()
