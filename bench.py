@@ -222,8 +222,10 @@ def run_stages_child(cores: int) -> None:
     _warm(spark, cores)
     df = spark.read.parquet(STAGES_CORPUS)
     n = df.count()
+    gap = int(os.environ.get("SPARK_GRAFT_STAGE_GAP", "90"))
 
     def timed(make):
+        time.sleep(gap)  # replenish the host CPU-quota budget between probes
         t0 = time.perf_counter()
         _noop(make())
         return round(time.perf_counter() - t0, 3)
@@ -231,12 +233,13 @@ def run_stages_child(cores: int) -> None:
     spec = FeatureSpec()
     prefix_sess = lambda: sessionize(with_turn_metrics(dedup_latest(df)))  # noqa: E731
     prefix_wins = lambda: compile_window_features(prefix_sess(), spec)  # noqa: E731
-    t = {
-        "scan": timed(lambda: df),
-        "thru_sessionize": timed(prefix_sess),
-        "thru_windows": timed(prefix_wins),
-        "full_with_ewma": timed(lambda: backfill_features(df, rank_metric=None)),
-    }
+    # most expensive probe first (coolest budget); scan is bandwidth-bound
+    # and cheap, so it tolerates going last
+    t = {}
+    t["full_with_ewma"] = timed(lambda: backfill_features(df, rank_metric=None))
+    t["thru_windows"] = timed(prefix_wins)
+    t["thru_sessionize"] = timed(prefix_sess)
+    t["scan"] = timed(lambda: df)
     print(json.dumps({"cores": cores, "turns": n, "stages_cum_sec": t, "calib_sec": calib}))
     spark.stop()
 

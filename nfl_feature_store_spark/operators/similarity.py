@@ -89,6 +89,7 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 10,
     bits: int = 8,
+    probes: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "qid",
@@ -96,9 +97,14 @@ def lsh_topk(
     """Approximate top-k: exact cosine rerank within the query's LSH bucket.
 
     Co-partitioned equi-join on bucket replaces the cross join — candidate
-    volume drops by ~2^bits; recall is tunable via ``bits`` (fewer bits =
-    bigger buckets = higher recall, more compute).
-    """
+    volume drops by ~2^bits; recall is tunable two ways: ``bits`` (fewer
+    bits = bigger buckets) and ``probes`` (multi-probe: each query also
+    visits the ``probes`` neighboring buckets at Hamming distance 1 from its
+    own, recovering neighbors that fell just across one hyperplane — the
+    dominant near-miss mode for sign-LSH). Candidate volume scales by
+    (1 + probes); only the (small) query side is replicated, never the
+    corpus. Recall floors are pytest-pinned
+    (tests/test_similarity_retrieval.py)."""
     c = (
         corpus.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
         .withColumn("cn", _norm("cv"))
@@ -109,11 +115,19 @@ def lsh_topk(
         .withColumn("qn", _norm("qv"))
         .withColumn("bucket", lsh_bucket("qv", bits))
     )
+    if probes:
+        n = min(probes, bits)
+        flips = F.array(F.col("bucket"), *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n)
+        ])
+        q = q.withColumn("bucket", F.explode(flips))
     dot = F.expr("aggregate(zip_with(qv, cv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("cid") != F.col("qid"))
         .select("qid", F.col("cid").alias("neighbor_id"), (dot / (F.col("qn") * F.col("cn"))).alias("cosine"))
     )
+    if probes:
+        scored = scored.dropDuplicates(["qid", "neighbor_id"])
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

@@ -1096,6 +1096,44 @@ FROM m
 """
 
 
+def q42_multiway_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """J4 literal form: >=3-way full-outer cascade of aggregation lanes with
+    key coalescing at each step (reference src/pumps/player_game.py:472-475
+    pass ⟗ rush ⟗ rec ⟗ st_tds). The flagship pipeline replaces this shape
+    with union+groupBy (one shuffle instead of a join cascade — SURVEY §2.3);
+    this query keeps the literal cascade on the surface for parity."""
+    ev = load_table(spark, sf, "events")
+
+    def lane(event_type: str, alias: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .groupBy("user_id")
+            .agg(F.count("*").cast("long").alias(alias))
+        )
+
+    a, b, c = lane("view", "n_view"), lane("purchase", "n_purchase"), lane("error", "n_error")
+    ab = a.join(b, "user_id", "full_outer")
+    abc = ab.join(c, "user_id", "full_outer")
+    return abc.select(
+        "user_id",
+        F.coalesce("n_view", F.lit(0)).alias("n_view"),
+        F.coalesce("n_purchase", F.lit(0)).alias("n_purchase"),
+        F.coalesce("n_error", F.lit(0)).alias("n_error"),
+    )
+
+
+Q42_SQL = """
+WITH a AS (SELECT user_id, count(*)::BIGINT AS n_view     FROM events WHERE event_type = 'view'     GROUP BY 1),
+     b AS (SELECT user_id, count(*)::BIGINT AS n_purchase FROM events WHERE event_type = 'purchase' GROUP BY 1),
+     c AS (SELECT user_id, count(*)::BIGINT AS n_error    FROM events WHERE event_type = 'error'    GROUP BY 1)
+SELECT coalesce(a.user_id, b.user_id, c.user_id) AS user_id,
+       coalesce(n_view, 0) AS n_view,
+       coalesce(n_purchase, 0) AS n_purchase,
+       coalesce(n_error, 0) AS n_error
+FROM a FULL OUTER JOIN b USING (user_id) FULL OUTER JOIN c USING (user_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1138,6 +1176,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_lsh_topk": q39_lsh_topk,
     "q40_simhash_pairs": q40_simhash_pairs,
     "q41_composite_rank": q41_composite_rank,
+    "q42_multiway_outer": q42_multiway_outer,
 }
 
 ORACLES: dict[str, str] = {
@@ -1174,6 +1213,7 @@ ORACLES: dict[str, str] = {
     "q36_salted_expanding": Q36_SQL,
     "q37_salted_rolling": Q37_SQL,
     "q41_composite_rank": Q41_SQL,
+    "q42_multiway_outer": Q42_SQL,
     # q28-q31, q35, q38-q40: rows-only (sequential recursions /
     # engine-specific hash families), each pinned by a pytest referee
 }

@@ -62,6 +62,12 @@ def test_lsh_topk_recall_vs_bruteforce(spark, clustered_embeddings):
     merged = approx4.merge(exact, on=["qid", "neighbor_id"], suffixes=("_a", "_e"))
     np.testing.assert_allclose(merged["cosine_a"], merged["cosine_e"], rtol=1e-12)
 
+    # multi-probe recovers across-one-hyperplane misses: strictly more recall
+    # at the same bits, with candidate volume only (1 + probes)x
+    probed = lsh_topk(sdf, q, k=10, bits=6, probes=6).toPandas()
+    assert float(np.mean(_recalls(exact, probed))) > float(np.mean(_recalls(exact, approx6)))
+    assert probed.groupby(["qid", "neighbor_id"]).size().max() == 1  # deduped
+
 
 def test_simhash_near_pairs_finds_planted_dups(spark):
     words = [f"w{i}" for i in range(500)]
