@@ -89,6 +89,44 @@ def quality_score_exprs(col: Column | str) -> dict[str, Column]:
     }
 
 
+# GPT-2-style pretokenizer alternation, restricted to constructs both Java
+# regex (Spark) and RE2 (DuckDB) support — no lookahead, so trailing-space
+# handling is folded into the \s+ branch. Counting matches of this
+# alternation approximates BPE pretoken counts without a vocab.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_expr(col: Column | str) -> Column:
+    """BPE-ish token count: matches of the GPT-2 pretokenizer alternation
+    (vocab-free upper bound on real BPE token counts; the merge step only
+    ever reduces counts). Pure regexp_count — engine-portable, so the q43
+    oracle runs the SAME pattern in DuckDB."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN)).cast("int")
+
+
+def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al.'s rolling-hash
+    selection): hash every k-gram, take the min hash of each window of ``w``
+    consecutive k-gram hashes, dedupe. Two documents sharing a substring of
+    length >= k + w - 1 are guaranteed to share a fingerprint — the standard
+    local-similarity sketch for plagiarism/near-dup detection.
+
+    Pure higher-order column algebra (transform + slice + array_min), no
+    explode, no UDF; xxhash64 family => rows-only in the driver contract,
+    guarantee pinned by pytest."""
+    c = F.lower(F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit("")))
+    n_grams = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.xxhash64(c.substr(i, F.lit(k)))
+    )
+    n_windows = F.greatest(F.size(hashes) - F.lit(w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows), lambda i: F.array_min(F.slice(hashes, i, w))
+    )
+    return F.array_distinct(mins)
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lowercased text. Engine-portable (identical in DuckDB) and stable across

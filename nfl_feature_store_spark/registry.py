@@ -1134,6 +1134,70 @@ FROM a FULL OUTER JOIN b USING (user_id) FULL OUTER JOIN c USING (user_id)
 """
 
 
+def q43_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting, BPE-ish tier: GPT-2 pretokenizer alternation counted
+    via regexp_count — engine-portable, so the oracle runs the SAME pattern
+    through DuckDB's RE2. Whitespace tier alongside for comparison."""
+    from nfl_feature_store_spark.functions.text import bpe_token_count_expr, token_count_expr
+
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_token_count_expr("text").cast("long").alias("bpe_tokens"),
+        token_count_expr("text").cast("long").alias("ws_tokens"),
+    )
+
+
+Q43_SQL = r"""
+SELECT doc_id,
+       length(regexp_extract_all(coalesce(text, ''), '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))::BIGINT AS bpe_tokens,
+       CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+            ELSE length(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END::BIGINT AS ws_tokens
+FROM documents
+"""
+
+
+def q44_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing): min-hash of each
+    window of k-gram hashes, deduped. Rows-only (xxhash64 family); the
+    shared-substring guarantee is pytest-pinned."""
+    from nfl_feature_store_spark.functions.text import winnow_fingerprints
+
+    docs = load_table(spark, sf, "documents")
+    fps = docs.select("doc_id", winnow_fingerprints("text", k=8, w=4).alias("fps"))
+    return fps.select("doc_id", F.size("fps").cast("long").alias("n_fingerprints"))
+
+
+def q45_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, brute-force tier (the exact
+    baseline; the LSH-bucketed scale path is q39/lsh_topk). Oracled via
+    DuckDB list_dot_product on the same vectors."""
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 300).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("v")
+    )
+    norm = F.sqrt(F.expr("aggregate(zip_with(v, v, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+    emb = emb.withColumn("nrm", norm)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.expr("aggregate(zip_with(va, vb, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
+    pairs = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", _r(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"))
+        .filter(F.col("cosine") > 0.3)
+    )
+    return pairs
+
+
+Q45_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 > 0.3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1177,6 +1241,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_simhash_pairs": q40_simhash_pairs,
     "q41_composite_rank": q41_composite_rank,
     "q42_multiway_outer": q42_multiway_outer,
+    "q43_bpe_tokens": q43_bpe_tokens,
+    "q44_winnow_fingerprints": q44_winnow_fingerprints,
+    "q45_cosine_near_dup": q45_cosine_near_dup,
 }
 
 ORACLES: dict[str, str] = {
@@ -1214,6 +1281,8 @@ ORACLES: dict[str, str] = {
     "q37_salted_rolling": Q37_SQL,
     "q41_composite_rank": Q41_SQL,
     "q42_multiway_outer": Q42_SQL,
-    # q28-q31, q35, q38-q40: rows-only (sequential recursions /
+    "q43_bpe_tokens": Q43_SQL,
+    "q45_cosine_near_dup": Q45_SQL,
+    # q28-q31, q35, q38-q40, q44: rows-only (sequential recursions /
     # engine-specific hash families), each pinned by a pytest referee
 }

@@ -120,3 +120,51 @@ def test_composite_rank_matches_pandas(spark):
     exp = pdf.sort_values(["period", "m1", "m2"]).reset_index(drop=True)
     np.testing.assert_allclose(got["mean_rank"], exp["mean_rank"])
     assert got["composite_rank"].tolist() == exp["composite_rank"].tolist()
+
+
+def test_bpe_token_count_hand_cases(spark):
+    from nfl_feature_store_spark.functions.text import bpe_token_count_expr
+
+    cases = [
+        ("hello world", 2),        # "hello", " world"
+        ("don't stop", 3),         # "don", "'t", " stop"
+        ("abc 123", 2),            # "abc", " 123"
+        ("hi!!", 2),               # "hi", "!!"
+        ("   ", 1),                # lone \s+ run
+        ("", 0),
+        (None, 0),
+    ]
+    pdf = pd.DataFrame({"text": [c[0] for c in cases]})
+    got = (
+        spark.createDataFrame(pdf)
+        .select(bpe_token_count_expr("text").alias("n"))
+        .toPandas()["n"]
+        .tolist()
+    )
+    assert got == [c[1] for c in cases]
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing (k=8, w=4) guarantees: two documents sharing a substring of
+    length >= k + w - 1 = 11 share at least one fingerprint; dissimilar
+    random docs share none."""
+    from pyspark.sql import functions as F
+
+    from nfl_feature_store_spark.functions.text import winnow_fingerprints
+
+    rng = np.random.default_rng(31)
+    alphabet = list("abcdefghijklmnopqrstuvwxyz ")
+    shared = "the quick brown fox jumps"  # 25 chars >> 11
+    docs = [
+        (0, "".join(rng.choice(alphabet, 60)) + shared + "".join(rng.choice(alphabet, 60))),
+        (1, "".join(rng.choice(alphabet, 80)) + shared),
+        (2, "".join(rng.choice(alphabet, 200))),  # unrelated
+        (3, "".join(rng.choice(alphabet, 200))),  # unrelated
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    fps = sdf.select("doc_id", winnow_fingerprints("text", k=8, w=4).alias("fps")).toPandas()
+    sets = {r.doc_id: set(r.fps) for r in fps.itertuples()}
+    assert sets[0] & sets[1], "docs sharing a >=11-char substring must share a fingerprint"
+    assert not (sets[2] & sets[3]), "unrelated random docs should share nothing"
+    # fingerprints are a sketch: far fewer than characters
+    assert all(0 < len(s) < 200 for s in sets.values())
