@@ -81,6 +81,97 @@ def asof_join(
     return out
 
 
+def salted_asof_join(
+    features: DataFrame,
+    probes: DataFrame,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    probe_ts_col: str = "probe_ts",
+    feature_cols: list[str] | None = None,
+    inclusive: bool = True,
+    n_salt: int = 32,
+) -> DataFrame:
+    """As-of backfill under (entity, salt) parallelism — the north rule's
+    "salted (conv_id, ts) partitions" made literal for entities too hot for
+    one task's sort.
+
+    Same union + last(ignorenulls) semantics as :func:`asof_join`, decomposed
+    exactly like operators/salted.py: quantile range-salt over the UNIONED
+    (feature ∪ probe) stream, within-chunk carry-forward in parallel, then a
+    tiny per-chunk "last snapshot" summary scanned per entity and broadcast
+    back — a probe in chunk c falls back to the latest snapshot of chunks
+    < c when its own chunk has no earlier feature row. Rows with equal ts
+    always share a chunk, so the inclusive/strict tie rule never straddles a
+    boundary. Property-tested equal to the unsalted operator.
+    """
+    from nfl_feature_store_spark.operators.salted import assign_range_salt
+
+    if feature_cols is None:
+        feature_cols = [c for c in features.columns if c not in (entity_col, ts_col)]
+    probe_payload = [c for c in probes.columns if c not in (entity_col, probe_ts_col)]
+
+    f_side = features.select(
+        F.col(entity_col),
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__f_{c}") for c in feature_cols],
+        *[F.lit(None).cast(probes.schema[c].dataType).alias(f"__p_{c}") for c in probe_payload],
+    )
+    p_side = probes.select(
+        F.col(entity_col),
+        F.col(probe_ts_col).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(features.schema[c].dataType).alias(f"__f_{c}") for c in feature_cols],
+        *[F.col(c).alias(f"__p_{c}") for c in probe_payload],
+    )
+    unioned = f_side.unionByName(p_side)
+    salted = assign_range_salt(unioned, entity_col, "__ts", n_salt)
+
+    side_order = F.col("__side").asc() if inclusive else F.col("__side").desc()
+    # within-window order and the per-chunk "last row" key must agree; for
+    # the strict rule probes sort first at equal ts, i.e. larger (1 - side)
+    order_key = F.struct(
+        F.col("__ts"), (F.col("__side") if inclusive else 1 - F.col("__side")).alias("__sk")
+    )
+    w_chunk = (
+        Window.partitionBy(entity_col, "__salt")
+        .orderBy(F.col("__ts").asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = salted.withColumns(
+        {f"__f_{c}": F.last(F.col(f"__f_{c}"), ignorenulls=True).over(w_chunk) for c in feature_cols}
+    )
+
+    # tiny per-chunk summary: the chunk's final carried snapshot per feature
+    summaries = filled.groupBy(entity_col, "__salt").agg(
+        *[F.max_by(F.col(f"__f_{c}"), order_key).alias(f"__f_{c}") for c in feature_cols]
+    )
+    w_prev = (
+        Window.partitionBy(entity_col)
+        .orderBy("__salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = summaries.select(
+        entity_col,
+        "__salt",
+        *[
+            F.last(F.col(f"__f_{c}"), ignorenulls=True).over(w_prev).alias(f"__carry_{c}")
+            for c in feature_cols
+        ],
+    )
+    merged = filled.join(F.broadcast(carries), [entity_col, "__salt"])
+    out = merged.filter(F.col("__side") == 1).select(
+        F.col(entity_col),
+        F.col("__ts").alias(probe_ts_col),
+        *[F.col(f"__p_{c}").alias(c) for c in probe_payload],
+        *[
+            F.coalesce(F.col(f"__f_{c}"), F.col(f"__carry_{c}")).alias(c)
+            for c in feature_cols
+        ],
+    )
+    return out
+
+
 def latest_snapshot(
     features: DataFrame,
     entity_col: str = "conv_id",

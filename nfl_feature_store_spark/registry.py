@@ -1198,6 +1198,29 @@ WHERE floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 1000000 + 0.5) / 10
 """
 
 
+def q46_salted_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """J6 under skew: the q16 as-of backfill routed through the salted
+    decomposition (quantile range-salt over the unioned stream, within-chunk
+    carry-forward, broadcast prior-chunk snapshot fallback). Same ANSI ASOF
+    oracle as q16 — the salting must be invisible in the result."""
+    from nfl_feature_store_spark.operators.asof import salted_asof_join
+
+    ev = load_table(spark, sf, "events")
+    feats = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    probes = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("probe_ts"), "event_id"
+    )
+    out = salted_asof_join(
+        feats, probes, entity_col="user_id", ts_col="ts", probe_ts_col="probe_ts",
+        feature_cols=["purchase_value"], inclusive=True, n_salt=8,
+    )
+    return out.select("event_id", "user_id", _r("purchase_value", 6).alias("asof_purchase_value"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1244,6 +1267,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_bpe_tokens": q43_bpe_tokens,
     "q44_winnow_fingerprints": q44_winnow_fingerprints,
     "q45_cosine_near_dup": q45_cosine_near_dup,
+    "q46_salted_asof": q46_salted_asof,
 }
 
 ORACLES: dict[str, str] = {
@@ -1283,6 +1307,7 @@ ORACLES: dict[str, str] = {
     "q42_multiway_outer": Q42_SQL,
     "q43_bpe_tokens": Q43_SQL,
     "q45_cosine_near_dup": Q45_SQL,
+    "q46_salted_asof": Q16_SQL,  # identical scenario+oracle; salted execution
     # q28-q31, q35, q38-q40, q44: rows-only (sequential recursions /
     # engine-specific hash families), each pinned by a pytest referee
 }

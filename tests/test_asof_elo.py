@@ -73,6 +73,32 @@ def test_asof_matches_merge_asof(spark, feat_probe, inclusive):
     assert row_exact["snap"].isna().all() != inclusive
 
 
+@pytest.mark.parametrize("inclusive", [True, False])
+def test_salted_asof_matches_unsalted(spark, feat_probe, inclusive):
+    """The salted decomposition must be invisible: same merge_asof referee,
+    same tie rule, arbitrary n_salt."""
+    from nfl_feature_store_spark.operators.asof import salted_asof_join
+
+    feats, probes = feat_probe
+    got = (
+        salted_asof_join(
+            spark.createDataFrame(feats), spark.createDataFrame(probes),
+            feature_cols=["snap"], inclusive=inclusive, n_salt=16,
+        )
+        .toPandas()
+        .sort_values("probe_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        referee_asof(feats, probes, ["snap"], inclusive=inclusive)
+        .sort_values("probe_id")
+        .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(
+        got["snap"].to_numpy(dtype=float), exp["snap"].to_numpy(dtype=float), equal_nan=True
+    )
+
+
 def test_latest_snapshot_is_last_row(spark, transcripts_sdf):
     latest = latest_snapshot(transcripts_sdf, order_cols=("ts", "turn_idx")).toPandas()
     pdf = transcripts_sdf.toPandas().sort_values(["conv_id", "ts", "turn_idx"])
