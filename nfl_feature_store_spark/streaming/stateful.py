@@ -1,0 +1,92 @@
+"""Stateful streaming per-entity features via ``applyInPandasWithState``
+(SURVEY.md §2.9 extension; the batch analog is operators/ewma.py).
+
+The batch engine computes EWMA with one pandas pass per partition; under
+Structured Streaming the recursion state (current EWM value + the previous
+turn's raw value for the lag-1 input) must survive across micro-batches.
+``applyInPandasWithState`` keys the stream by ``conv_id`` and hands each
+key's new rows to a vectorized pandas kernel together with its ``GroupState``
+— state size is O(metrics) per conversation, the smallest possible.
+
+Ordering contract: turns must arrive ts-ordered per conversation ACROSS
+micro-batches (within a batch the kernel sorts). Out-of-order delivery
+within the watermark collapses via upstream dedup; rows older than a
+previously processed turn would recurse from the wrong state, so transports
+that reorder beyond the watermark need the batch backfill path instead —
+the same late-data boundary the session aggregates draw.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_ewma(
+    turns: DataFrame,
+    metrics: tuple[str, ...] = ("chars",),
+    span: int = 10,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming span-EWM of the lag-1 metric series per conversation.
+
+    Emits one row per turn: ``(conv_id, turn_idx, ts, ewma_{m}...)`` where
+    ``ewma_{m}`` is the EWM of metric ``m`` over all STRICTLY EARLIER turns
+    (NULL until a second turn exists) — identical semantics to the batch
+    ``with_ewma``, state carried across micro-batches.
+
+    ``turns`` must already carry the metric columns (e.g. from
+    ``with_turn_metrics``); duplicates should be collapsed upstream
+    (``dropDuplicatesWithinWatermark``).
+    """
+    alpha = 2.0 / (span + 1.0)
+    out_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+        ]
+        + [T.StructField(f"ewma_{m}", T.DoubleType(), True) for m in metrics]
+    )
+    # per metric: (ewm value, seeded flag, previous raw value, has_prev flag)
+    state_schema = T.StructType(
+        [T.StructField(f, T.DoubleType(), True) for m in metrics for f in (f"e_{m}", f"x_{m}")]
+        + [T.StructField("n_seen", T.LongType(), True)]
+    )
+
+    def kernel(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = list(state.get)
+        else:
+            st = [None] * (2 * len(metrics)) + [0]
+        n_seen = int(st[-1] or 0)
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "turn_idx"], kind="mergesort", ignore_index=True
+        )
+        out = {"conv_id": pdf["conv_id"], "turn_idx": pdf["turn_idx"], "ts": pdf["ts"]}
+        for j, m in enumerate(metrics):
+            e, x_prev = st[2 * j], st[2 * j + 1]
+            vals = pdf[m].astype("float64").to_numpy()
+            col = []
+            for x in vals:
+                if x_prev is not None:  # update with the lag-1 value first
+                    e = x_prev if e is None else e + alpha * (x_prev - e)
+                col.append(e)
+                x_prev = float(x)
+            st[2 * j], st[2 * j + 1] = e, x_prev
+            out[f"ewma_{m}"] = col
+        st[-1] = n_seen + len(pdf)
+        state.update(tuple(st))
+        yield pd.DataFrame(out)
+
+    keyed = turns.withWatermark("ts", watermark).groupBy("conv_id")
+    return keyed.applyInPandasWithState(
+        kernel, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

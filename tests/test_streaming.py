@@ -129,3 +129,65 @@ def test_masked_zero_fill():
     assert out["a"].tolist() == [1.0, 0.0]
     assert out["epa_like"].isna().tolist() == [True, False]  # protected stays NULL
     assert out["s"].isna().tolist() == [False, True]  # strings untouched
+
+
+def test_streaming_ewma_state_carries_across_batches(spark, tmp_path_factory):
+    """applyInPandasWithState EWMA must equal the batch with_ewma when the
+    stream is split across micro-batches mid-conversation (state carry)."""
+    import numpy as np
+
+    from nfl_feature_store_spark.operators.ewma import with_ewma
+    from nfl_feature_store_spark.streaming.stateful import streaming_ewma
+
+    rng = np.random.default_rng(41)
+    rows = []
+    base = pd.Timestamp("2026-05-01")
+    for c in range(4):
+        for j in range(30):
+            rows.append((f"s{c}", j, "user", "x", "", base + pd.Timedelta(seconds=c * 11 + j * 60),
+                         float(rng.integers(1, 300))))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts", "chars"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp, chars double"
+    d = str(tmp_path_factory.mktemp("ewma_src"))
+    # two files split MID-conversation => the second micro-batch must resume
+    # every conversation's recursion from state
+    spark.createDataFrame(pdf[pdf.turn_idx < 15], schema=schema).coalesce(1).write.mode("overwrite").parquet(d + "/f1")
+    spark.createDataFrame(pdf[pdf.turn_idx >= 15], schema=schema).coalesce(1).write.mode("overwrite").parquet(d + "/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/f*")
+    )
+    out = streaming_ewma(stream, metrics=("chars",), span=10)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_ewma"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.sql("select * from ewma_out")
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(pdf)
+
+    exp = (
+        with_ewma(spark.createDataFrame(pdf, schema=schema), metrics=("chars",), span=10)
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(
+        got["ewma_chars"].to_numpy(dtype=float),
+        exp["ewma_chars"].to_numpy(dtype=float),
+        rtol=1e-12, equal_nan=True,
+    )
