@@ -1221,6 +1221,19 @@ def q46_salted_asof(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "user_id", _r("purchase_value", 6).alias("asof_purchase_value"))
 
 
+def q47_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate top-k: KMeans coarse quantizer buckets the corpus;
+    queries probe their n_probe nearest centroids and exact-rerank. Rows-only
+    (the trained quantizer isn't SQL-portable); recall floor pytest-pinned
+    (tests/test_similarity_retrieval.py)."""
+    from nfl_feature_store_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), "embedding")
+    out = ivf_topk(emb, q, k=3, n_centroids=16, n_probe=4)
+    return out.select("qid", "neighbor_id", F.col("rnk").cast("long").alias("rnk"), _r("cosine", 6).alias("cosine"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1268,6 +1281,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_winnow_fingerprints": q44_winnow_fingerprints,
     "q45_cosine_near_dup": q45_cosine_near_dup,
     "q46_salted_asof": q46_salted_asof,
+    "q47_ivf_topk": q47_ivf_topk,
 }
 
 ORACLES: dict[str, str] = {

@@ -168,3 +168,26 @@ def test_winnow_shared_substring_guarantee(spark):
     assert not (sets[2] & sets[3]), "unrelated random docs should share nothing"
     # fingerprints are a sketch: far fewer than characters
     assert all(0 < len(s) < 200 for s in sets.values())
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, clustered_embeddings):
+    """IVF with n_centroids = true cluster count and n_probe=2 on an
+    8-cluster fixture: the coarse quantizer should recover the clusters, so
+    recall beats the 4-bit LSH floor; probing more centroids helps."""
+    from nfl_feature_store_spark.operators.similarity import ivf_topk
+
+    sdf = clustered_embeddings
+    q = sdf.filter("vec_id < 20").selectExpr("vec_id as qid", "embedding")
+    exact = cosine_topk(sdf, q, k=10).toPandas()
+
+    ivf2 = ivf_topk(sdf, q, k=10, n_centroids=8, n_probe=2).toPandas()
+    r2 = float(np.mean(_recalls(exact, ivf2)))
+    assert r2 >= 0.8
+
+    ivf1 = ivf_topk(sdf, q, k=10, n_centroids=8, n_probe=1).toPandas()
+    r1 = float(np.mean(_recalls(exact, ivf1)))
+    assert r2 >= r1  # more probes never hurt
+
+    # exact-cosine contract on shared pairs
+    merged = ivf2.merge(exact, on=["qid", "neighbor_id"], suffixes=("_a", "_e"))
+    np.testing.assert_allclose(merged["cosine_a"], merged["cosine_e"], rtol=1e-12)
