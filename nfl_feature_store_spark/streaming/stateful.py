@@ -90,3 +90,49 @@ def streaming_ewma(
     return keyed.applyInPandasWithState(
         kernel, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_elo(
+    turns: DataFrame,
+    outcome_col: str = "outcome",
+    k: float = 20.0,
+    init: float = 1500.0,
+    opponent_rating: float = 1500.0,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming per-entity Elo (operators/elo.py elo_per_entity semantics):
+    ``elo_pre`` is the rating BEFORE each event; NULL outcomes pass through
+    without updating. State = one double per conversation, carried across
+    micro-batches. Same ordering contract as :func:`streaming_ewma`."""
+    out_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("elo_pre", T.DoubleType(), False),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("r", T.DoubleType(), True)])
+
+    def kernel(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        r = state.get[0] if state.exists else init
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "turn_idx"], kind="mergesort", ignore_index=True
+        )
+        pre = []
+        for o in pdf[outcome_col].astype("float64"):
+            pre.append(r)
+            if o == o:  # not NaN
+                expected = 1.0 / (1.0 + 10.0 ** (-(r - opponent_rating) / 400.0))
+                r = r + k * (o - expected)
+        state.update((r,))
+        yield pd.DataFrame(
+            {"conv_id": pdf["conv_id"], "turn_idx": pdf["turn_idx"], "ts": pdf["ts"], "elo_pre": pre}
+        )
+
+    keyed = turns.withWatermark("ts", watermark).groupBy("conv_id")
+    return keyed.applyInPandasWithState(
+        kernel, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -191,3 +191,54 @@ def test_streaming_ewma_state_carries_across_batches(spark, tmp_path_factory):
         exp["ewma_chars"].to_numpy(dtype=float),
         rtol=1e-12, equal_nan=True,
     )
+
+
+def test_streaming_elo_state_carries_across_batches(spark, tmp_path_factory):
+    """Streaming per-entity Elo equals the batch elo_per_entity when the
+    stream splits mid-conversation (one-double state carry)."""
+    import numpy as np
+
+    from nfl_feature_store_spark.operators.elo import elo_per_entity
+    from nfl_feature_store_spark.streaming.stateful import streaming_elo
+
+    rng = np.random.default_rng(43)
+    rows = []
+    base = pd.Timestamp("2026-05-02")
+    for c in range(5):
+        for j in range(24):
+            rows.append((f"e{c}", j, base + pd.Timedelta(seconds=c * 3 + j * 60),
+                         float(rng.integers(0, 2))))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "outcome"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    schema = "conv_id string, turn_idx int, ts timestamp, outcome double"
+
+    d = str(tmp_path_factory.mktemp("elo_src"))
+    spark.createDataFrame(pdf[pdf.turn_idx < 12], schema=schema).coalesce(1).write.mode("overwrite").parquet(d + "/f1")
+    spark.createDataFrame(pdf[pdf.turn_idx >= 12], schema=schema).coalesce(1).write.mode("overwrite").parquet(d + "/f2")
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d + "/f*")
+    out = streaming_elo(stream)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_elo"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("elo_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.sql("select * from elo_out")
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        elo_per_entity(spark.createDataFrame(pdf, schema=schema), outcome_col="outcome")
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    np.testing.assert_allclose(got["elo_pre"].to_numpy(), exp["elo_pre"].to_numpy(), rtol=1e-12)
