@@ -232,9 +232,8 @@ def elo_pairwise(
         flush(cur_bucket, cur_matches)
 
     snap = spark.createDataFrame(
-        pd.DataFrame(snap_rows, columns=["__sb", "__se", "__sr"])
-        if snap_rows
-        else pd.DataFrame({"__sb": pd.Series(dtype="str"), "__se": pd.Series(dtype="str"), "__sr": pd.Series(dtype="float64")})
+        pd.DataFrame(snap_rows, columns=["__sb", "__se", "__sr"]),
+        schema="__sb string, __se string, __sr double",
     )
     b_str = F.col(bucket_col).cast("string")
     h_snap = snap.select(

@@ -73,3 +73,22 @@ def test_elo_partition_tripwire(spark):
     out = elo_per_entity(df, outcome_col="outcome", max_partition_rows=100)
     with pytest.raises(PythonException, match="max_partition_rows"):
         out.count()
+
+
+def test_salted_and_elo_handle_empty_input(spark):
+    """Degenerate inputs must not crash the planners (empty quantile bounds,
+    empty snapshot table)."""
+    from nfl_feature_store_spark.operators.elo import elo_pairwise
+    from nfl_feature_store_spark.operators.salted import salted_expanding_mean
+
+    empty = spark.createDataFrame(
+        [], schema="conv_id string, turn_idx int, ts timestamp, value double"
+    )
+    assert salted_expanding_mean(empty, "value", n_salt=4).count() == 0
+
+    empty_m = spark.createDataFrame(
+        [], schema="home string, away string, outcome double, bucket string"
+    )
+    out = elo_pairwise(empty_m, "home", "away", "outcome", "bucket")
+    assert out.count() == 0
+    assert "elo_prob_home" in out.columns
