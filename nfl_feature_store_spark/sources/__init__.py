@@ -6,6 +6,7 @@ from nfl_feature_store_spark.sources.transcripts import (
 )
 from nfl_feature_store_spark.sources.tables import load_table, register_views
 from nfl_feature_store_spark.sources.staged_csv import stage_csv_dim
+from nfl_feature_store_spark.sources.bucketed import read_bucketed_transcripts, write_bucketed_transcripts
 
 __all__ = [
     "TRANSCRIPT_SCHEMA",
@@ -15,4 +16,6 @@ __all__ = [
     "load_table",
     "register_views",
     "stage_csv_dim",
+    "write_bucketed_transcripts",
+    "read_bucketed_transcripts",
 ]

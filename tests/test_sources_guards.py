@@ -92,3 +92,39 @@ def test_salted_and_elo_handle_empty_input(spark):
     out = elo_pairwise(empty_m, "home", "away", "outcome", "bucket")
     assert out.count() == 0
     assert "elo_prob_home" in out.columns
+
+
+def test_bucketed_table_makes_backfill_shuffle_free(spark, tmp_path_factory):
+    """A table bucketed by conv_id satisfies every downstream window
+    distribution: the ENTIRE backfill plans zero data exchanges, and results
+    equal the unbucketed run exactly."""
+    import re
+
+    from nfl_feature_store_spark.plans.pipeline import backfill_features
+    from nfl_feature_store_spark.sources.bucketed import (
+        read_bucketed_transcripts,
+        write_bucketed_transcripts,
+    )
+    from nfl_feature_store_spark.sources.transcripts import (
+        gen_transcripts_pdf,
+        transcripts_from_pandas,
+    )
+
+    pdf = gen_transcripts_pdf(n_convs=40, seed=9, max_turns=60)
+    sdf = transcripts_from_pandas(spark, pdf)
+    write_bucketed_transcripts(sdf, "t_bucketed_test", buckets=8)
+    try:
+        feats = backfill_features(read_bucketed_transcripts(spark, "t_bucketed_test"), rank_metric=None)
+        feats.write.format("noop").mode("overwrite").save()
+        plan = feats._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"Exchange hashpartitioning", plan) is None
+
+        got = feats.toPandas().sort_values(["conv_id", "ts", "turn_idx"], ignore_index=True)
+        exp = (
+            backfill_features(sdf, rank_metric=None)
+            .toPandas()
+            .sort_values(["conv_id", "ts", "turn_idx"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got, exp[got.columns], check_like=True)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_test")
