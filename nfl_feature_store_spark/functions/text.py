@@ -91,9 +91,14 @@ def quality_score_exprs(col: Column | str) -> dict[str, Column]:
 
 # GPT-2-style pretokenizer alternation, restricted to constructs both Java
 # regex (Spark) and RE2 (DuckDB) support — no lookahead, so trailing-space
-# handling is folded into the \s+ branch. Counting matches of this
-# alternation approximates BPE pretoken counts without a vocab.
-BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# handling is folded into the whitespace branch, and whitespace is an
+# EXPLICIT class (Java's \s includes \x0B, RE2's does not — an engine-parity
+# trap). Counting matches of this alternation approximates BPE pretoken
+# counts without a vocab.
+_WS = r" \t\n\r\f\x0B"
+BPE_ISH_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^" + _WS + r"\p{L}\p{N}]+|[" + _WS + r"]+"
+)
 
 
 def bpe_token_count_expr(col: Column | str) -> Column:

@@ -152,14 +152,17 @@ def salted_asof_join(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carries = summaries.select(
-        entity_col,
-        "__salt",
+        F.col(entity_col).alias("__ent_c"),
+        F.col("__salt").alias("__salt_c"),
         *[
             F.last(F.col(f"__f_{c}"), ignorenulls=True).over(w_prev).alias(f"__carry_{c}")
             for c in feature_cols
         ],
     )
-    merged = filled.join(F.broadcast(carries), [entity_col, "__salt"])
+    join_cond = F.col(entity_col).eqNullSafe(F.col("__ent_c")) & (
+        F.col("__salt") == F.col("__salt_c")
+    )
+    merged = filled.join(F.broadcast(carries), join_cond).drop("__ent_c", "__salt_c")
     out = merged.filter(F.col("__side") == 1).select(
         F.col(entity_col),
         F.col("__ts").alias(probe_ts_col),

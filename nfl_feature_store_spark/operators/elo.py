@@ -85,15 +85,20 @@ def elo_per_entity(
     order = list(order_cols)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        chunks = list(batches)
+        # tripwire fires while draining, before concat doubles peak memory
+        chunks: list[pd.DataFrame] = []
+        total = 0
+        for b in batches:
+            total += len(b)
+            if max_partition_rows is not None and total > max_partition_rows:
+                raise ValueError(
+                    f"elo_per_entity partition holds > max_partition_rows="
+                    f"{max_partition_rows} rows; raise num_partitions or thin the projection"
+                )
+            chunks.append(b)
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        if max_partition_rows is not None and len(pdf) > max_partition_rows:
-            raise ValueError(
-                f"elo_per_entity partition holds {len(pdf)} rows > max_partition_rows="
-                f"{max_partition_rows}; raise num_partitions or thin the projection"
-            )
         pdf = pdf.sort_values([entity_col] + order, kind="mergesort", ignore_index=True)
         outcomes = pdf[outcome_col].astype("float64").to_numpy()
         opp = (
@@ -195,8 +200,16 @@ def elo_pairwise(
         F.col(outcome_col).cast("double").alias("__o"),
     )
     if done_buckets:
-        # resume constraint (docstring): buckets are strings in time order
-        proj = proj.filter(F.col("__b").cast("string") > done_buckets[-1])
+        # resume constraint (docstring): buckets are strings in time order —
+        # enforced, because a lexicographic filter over e.g. int buckets would
+        # silently drop bucket 10 when resuming past bucket 5
+        if not isinstance(df.schema[bucket_col].dataType, T.StringType):
+            raise ValueError(
+                f"elo_pairwise manifest resume requires a string bucket column whose "
+                f"lexicographic order is the time order; {bucket_col!r} is "
+                f"{df.schema[bucket_col].dataType.simpleString()} — cast it (e.g. ISO dates)"
+            )
+        proj = proj.filter(F.col("__b") > done_buckets[-1])
     ordered = proj.repartitionByRange(n_parts, "__b").sortWithinPartitions("__b")
 
     def flush(bucket, matches: list[tuple]) -> None:
@@ -208,6 +221,8 @@ def elo_pairwise(
         # buckets/entities, which is type-stable across fresh and resumed runs
         snap_rows.extend((str(bucket), ent, r) for ent, r in touched.items())
         for h, a, o in matches:
+            if o is None or o != o:
+                continue  # unplayed/NULL outcome: snapshot scored, no update
             pre_h, pre_a = touched[h], touched[a]
             prob_h = 1.0 / (1.0 + 10.0 ** (-(pre_h - pre_a) / 400.0))
             delta = k * (o - prob_h)

@@ -69,16 +69,22 @@ def with_ewma(
     group_keys = [entity_col] + ([reset_col] if reset_col else [])
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        chunks = list(batches)  # partition is the memory unit by design
+        # partition is the memory unit by design; the tripwire fires WHILE
+        # draining the Arrow iterator, before the concat doubles peak memory
+        chunks: list[pd.DataFrame] = []
+        total = 0
+        for b in batches:
+            total += len(b)
+            if max_partition_rows is not None and total > max_partition_rows:
+                raise ValueError(
+                    f"with_ewma partition holds > max_partition_rows="
+                    f"{max_partition_rows} rows; a hot entity this size belongs in "
+                    "operators.salted.salted_ewm, or raise num_partitions"
+                )
+            chunks.append(b)
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        if max_partition_rows is not None and len(pdf) > max_partition_rows:
-            raise ValueError(
-                f"with_ewma partition holds {len(pdf)} rows > max_partition_rows="
-                f"{max_partition_rows}; a hot entity this size belongs in "
-                "operators.salted.salted_ewm, or raise num_partitions"
-            )
         if not presorted:
             pdf = pdf.sort_values([entity_col] + order, kind="mergesort", ignore_index=True)
         if not isinstance(pdf.index, pd.RangeIndex):

@@ -58,6 +58,10 @@ def composite_rank(
     excluded from every rank count, pandas ``rank`` behavior)."""
     subs = [max_rank(m, period_cols, descending) for m in metric_cols]
     wts = weights or [1.0] * len(metric_cols)
+    if len(wts) != len(metric_cols):
+        raise ValueError(
+            f"composite_rank: {len(metric_cols)} metrics but {len(wts)} weights"
+        )
     total_w = sum(wts)
     mean_rank: Column = subs[0] * F.lit(wts[0] / total_w)
     for sub, wt in zip(subs[1:], wts[1:]):

@@ -94,14 +94,19 @@ def assign_range_salt(
         df.select(entity_col, ts_num.alias("__ts_num"))
         .groupBy(entity_col)
         .agg(F.percentile_approx("__ts_num", pcts, accuracy).alias("__bounds"))
-    )
-    out = df.join(F.broadcast(bounds), entity_col)
+    ).withColumnRenamed(entity_col, "__ent_b")
+    # null-safe joins: a NULL entity is its own partition in the unsalted
+    # window semantics and must survive salting too
+    out = df.join(F.broadcast(bounds), F.col(entity_col).eqNullSafe(F.col("__ent_b"))).drop("__ent_b")
     salt = F.size(F.filter(F.col("__bounds"), lambda b: b < ts_num))
     out = out.withColumn("__raw_salt", salt).drop("__bounds")
     present = out.select(entity_col, "__raw_salt").distinct()
     w = Window.partitionBy(entity_col).orderBy("__raw_salt")
-    dense = present.withColumn(salt_col, (F.dense_rank().over(w) - 1).cast("int"))
-    return out.join(F.broadcast(dense), [entity_col, "__raw_salt"]).drop("__raw_salt")
+    dense = present.withColumn(salt_col, (F.dense_rank().over(w) - 1).cast("int")).select(
+        F.col(entity_col).alias("__ent_d"), F.col("__raw_salt").alias("__rs_d"), salt_col
+    )
+    cond = F.col(entity_col).eqNullSafe(F.col("__ent_d")) & (F.col("__raw_salt") == F.col("__rs_d"))
+    return out.join(F.broadcast(dense), cond).drop("__ent_d", "__rs_d", "__raw_salt")
 
 
 def salted_expanding_mean(
@@ -142,19 +147,20 @@ def salted_expanding_mean(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carries = chunk_totals.select(
-        entity_col,
-        "__salt",
+        F.col(entity_col).alias("__ent_c"),
+        F.col("__salt").alias("__salt_c"),
         F.coalesce(F.sum("__csum").over(w_carry), F.lit(0.0)).alias("__carry_sum"),
         F.coalesce(F.sum("__ccnt").over(w_carry), F.lit(0)).alias("__carry_cnt"),
     )
 
-    # 4. broadcast carries back and finalize
-    out = salted.join(F.broadcast(carries), [entity_col, "__salt"])
+    # 4. broadcast carries back (null-safe on entity) and finalize
+    cond = F.col(entity_col).eqNullSafe(F.col("__ent_c")) & (F.col("__salt") == F.col("__salt_c"))
+    out = salted.join(F.broadcast(carries), cond)
     total_cnt = F.col("__pcnt") + F.col("__carry_cnt")
     total_sum = F.col("__psum") + F.col("__carry_sum")
     return out.withColumn(
         out_col, F.when(total_cnt > 0, total_sum / total_cnt)
-    ).drop("__salt", "__psum", "__pcnt", "__carry_sum", "__carry_cnt")
+    ).drop("__salt", "__psum", "__pcnt", "__carry_sum", "__carry_cnt", "__ent_c", "__salt_c")
 
 
 def salted_rolling_mean(
@@ -172,14 +178,48 @@ def salted_rolling_mean(
     Carry = the previous chunk's last ``k`` rows, re-tagged into the next
     chunk as warm-up rows (they sort first — their ts range is earlier by
     construction) and dropped after the window. CONTRACT: every chunk except
-    the last must hold >= k rows, i.e. pick ``n_salt <= n_rows_hot / k`` —
-    trivially true for the hot entities this operator exists for.
+    an entity's last must hold >= k rows, i.e. pick ``n_salt <= n_rows / k``
+    — trivially true for the hot entities this operator exists for. The
+    contract is ENFORCED at execution: a violating chunk fails the job with
+    guidance instead of silently under-filling windows (round-2 review
+    finding), via an assert_true over a broadcast chunk-size table.
     """
     out_col = out_col or f"salted_roll{k}_{value_col}"
     v = F.col(value_col).cast("double")
 
     salted = assign_range_salt(df, entity_col, order_cols[0], n_salt).withColumn(
         "__warm", F.lit(False)
+    )
+
+    # tiny (entity, salt) size table -> runtime contract check, no extra job:
+    # assert_true evaluates per row during the main pass
+    sizes = salted.groupBy(entity_col, "__salt").agg(F.count("*").alias("__csize"))
+    w_ent = Window.partitionBy(entity_col)
+    # a chunk must hold >= k rows only when a LATER chunk warm-starts from it
+    # AND earlier history exists beyond it: the first chunk is always a
+    # complete history for chunk 1, and the last chunk feeds nobody
+    sizes = sizes.withColumn("__max_salt", F.max("__salt").over(w_ent)).select(
+        F.col(entity_col).alias("__ent_s"),
+        F.col("__salt").alias("__salt_s"),
+        (
+            (F.col("__salt") == 0)
+            | (F.col("__salt") == F.col("__max_salt"))
+            | (F.col("__csize") >= k)
+        ).alias("__chunk_ok"),
+    )
+    guard_cond = F.col(entity_col).eqNullSafe(F.col("__ent_s")) & (F.col("__salt") == F.col("__salt_s"))
+    guard = F.assert_true(
+        F.col("__chunk_ok"),
+        F.lit(
+            f"salted_rolling_mean: a non-final chunk holds < k={k} rows; "
+            "lower n_salt (need n_salt <= n_rows/k per entity) or use the "
+            "plain rolling window for small entities"
+        ),
+    )
+    salted = (
+        salted.join(F.broadcast(sizes), guard_cond)
+        .filter(guard.isNull())  # assert_true: NULL on pass, throws on violation
+        .drop("__ent_s", "__salt_s", "__chunk_ok")
     )
 
     # previous chunk's last k rows -> warm-up rows of chunk __salt+1
@@ -306,7 +346,8 @@ def salted_ewm(
         F.min_by(F.col(value_col).cast("double"), order_struct).alias("first_val"),
     )
 
-    carry_schema = f"{entity_col} string, __salt int, __carry double, __carry_updates long"
+    ent_type = df.schema[entity_col].dataType.simpleString()
+    carry_schema = f"{entity_col} {ent_type}, __salt int, __carry double, __carry_updates long"
 
     def carry_scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__salt", ignore_index=True)
@@ -338,13 +379,21 @@ def salted_ewm(
             }
         )
 
-    carries = summaries.groupBy(entity_col).applyInPandas(carry_scan, schema=carry_schema)
+    carries = (
+        summaries.groupBy(entity_col)
+        .applyInPandas(carry_scan, schema=carry_schema)
+        .withColumnRenamed(entity_col, "__ent_c")
+        .withColumnRenamed("__salt", "__salt_c")
+    )
 
-    joined = heavy_df.join(F.broadcast(carries), [entity_col, "__salt"])
+    join_cond = F.col(entity_col).eqNullSafe(F.col("__ent_c")) & (
+        F.col("__salt") == F.col("__salt_c")
+    )
+    joined = heavy_df.join(F.broadcast(carries), join_cond).drop("__ent_c", "__salt_c")
     # e = (1-a)^u * C + p; C already folds the chunk-boundary update and u
     # counts only within-chunk updates, so the formula is consistent as-is
     decay = F.pow(F.lit(1.0 - alpha), F.col("__u"))
     e = decay * F.col("__carry") + F.col("__p")
     ever_updated = (F.col("__u") + F.col("__carry_updates")) > 0
     out = joined.withColumn(out_col, F.when(ever_updated, e))
-    return out.drop("__salt", "__p", "__u", "__carry", "__carry_updates", "__prev_last")
+    return out.drop("__salt", "__p", "__u", "__carry", "__carry_updates")

@@ -138,7 +138,7 @@ def _input_fingerprints(tagged: DataFrame, partition_col: str) -> dict[str, str]
             F.count("*").alias("n"),
             F.max("ts").alias("mx"),
             # decimal(38,0) accumulator: ANSI-safe for ~10^18 rows of int64 hashes
-            F.sum(F.xxhash64(*cols).cast("decimal(20,0)")).alias("h"),
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
         )
         .collect()
     )

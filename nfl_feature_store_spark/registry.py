@@ -1150,7 +1150,7 @@ def q43_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
 
 Q43_SQL = r"""
 SELECT doc_id,
-       length(regexp_extract_all(coalesce(text, ''), '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))::BIGINT AS bpe_tokens,
+       length(regexp_extract_all(coalesce(text, ''), '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\x0B\p{L}\p{N}]+|[ \t\n\r\f\x0B]+'))::BIGINT AS bpe_tokens,
        CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
             ELSE length(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END::BIGINT AS ws_tokens
 FROM documents

@@ -130,7 +130,8 @@ def test_bpe_token_count_hand_cases(spark):
         ("don't stop", 3),         # "don", "'t", " stop"
         ("abc 123", 2),            # "abc", " 123"
         ("hi!!", 2),               # "hi", "!!"
-        ("   ", 1),                # lone \s+ run
+        ("   ", 1),                # lone whitespace run
+        ("a\x0b b", 3),            # vertical tab: explicit ws class keeps Java/RE2 parity
         ("", 0),
         (None, 0),
     ]

@@ -128,3 +128,98 @@ def test_bucketed_table_makes_backfill_shuffle_free(spark, tmp_path_factory):
         pd.testing.assert_frame_equal(got, exp[got.columns], check_like=True)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bucketed_test")
+
+
+def test_salted_rolling_contract_enforced_at_runtime(spark):
+    """Round-2 review: a non-final chunk smaller than k must FAIL the job
+    with guidance, not silently under-fill windows."""
+    import numpy as np
+
+    from nfl_feature_store_spark.operators.salted import salted_rolling_mean
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["small"] * 100,
+            "turn_idx": np.arange(100, dtype="int32"),
+            "ts": pd.Timestamp("2026-01-01") + pd.to_timedelta(np.arange(100) * 60, unit="s"),
+            "value": np.arange(100, dtype="float64"),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    bad = salted_rolling_mean(sdf, "value", k=10, n_salt=32)  # ~3-row chunks
+    with pytest.raises(Exception, match="non-final chunk"):
+        bad.count()
+    # compliant n_salt passes
+    assert salted_rolling_mean(sdf, "value", k=10, n_salt=4).count() == 100
+
+
+def test_salted_preserves_null_entity_rows(spark):
+    """NULL entity is its own window partition in the unsalted semantics and
+    must survive the salted path's joins (null-safe equality)."""
+    import numpy as np
+
+    from nfl_feature_store_spark.operators.salted import salted_expanding_mean
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a"] * 5 + [None] * 5,
+            "turn_idx": np.arange(10, dtype="int32"),
+            "ts": pd.Timestamp("2026-01-01") + pd.to_timedelta(np.arange(10) * 60, unit="s"),
+            "value": np.arange(10, dtype="float64"),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    out = salted_expanding_mean(sdf, "value", n_salt=2).toPandas()
+    assert len(out) == 10
+    nulls = out[out["conv_id"].isna()].sort_values("turn_idx")
+    # expanding mean of the NULL-entity group's own history (values 5..9)
+    assert nulls["salted_expanding_value"].isna().iloc[0]
+    assert nulls["salted_expanding_value"].iloc[1] == 5.0
+
+
+def test_elo_pairwise_null_outcome_scores_without_update(spark):
+    """Unplayed matches (NULL outcome — the reference's inference set) get
+    elo_pre/prob from the current ratings but never move them."""
+    import pandas as pd
+
+    from nfl_feature_store_spark.operators.elo import elo_pairwise
+
+    m = pd.DataFrame(
+        {
+            "home": ["A", "A", "A"],
+            "away": ["B", "B", "B"],
+            "outcome": [1.0, None, 1.0],
+            "bucket": ["b1", "b2", "b3"],
+        }
+    )
+    out = (
+        elo_pairwise(spark.createDataFrame(m), "home", "away", "outcome", "bucket", k=20.0)
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "elo_pre_home"] == 1500.0
+    assert out.loc[1, "elo_pre_home"] == 1510.0  # after the b1 win
+    assert out.loc[2, "elo_pre_home"] == 1510.0  # NULL b2 did NOT update
+
+
+def test_elo_pairwise_resume_rejects_nonstring_buckets(spark, tmp_path):
+    from nfl_feature_store_spark.operators.elo import elo_pairwise
+    from nfl_feature_store_spark.plans.checkpoint import PartitionManifest
+
+    m = spark.createDataFrame(
+        [("A", "B", 1.0, 1)], schema="home string, away string, outcome double, bucket int"
+    )
+    mf = PartitionManifest(str(tmp_path / "m.jsonl"))
+    elo_pairwise(m, "home", "away", "outcome", "bucket", manifest=mf).count()  # fresh run OK
+    mf2 = PartitionManifest(str(tmp_path / "m.jsonl"))
+    with pytest.raises(ValueError, match="string bucket"):
+        elo_pairwise(m, "home", "away", "outcome", "bucket", manifest=mf2)
+
+
+def test_composite_rank_rejects_weight_mismatch(spark):
+    from nfl_feature_store_spark.operators.rank import composite_rank
+
+    df = spark.createDataFrame([(1.0, 2.0, 3.0, "p")], "a double, b double, c double, period string")
+    with pytest.raises(ValueError, match="weights"):
+        composite_rank(df, ["a", "b", "c"], ["period"], weights=[0.5, 0.5])
