@@ -1234,6 +1234,37 @@ def q47_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("qid", "neighbor_id", F.col("rnk").cast("long").alias("rnk"), _r("cosine", 6).alias("cosine"))
 
 
+def q48_time_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style multi-grain rollup: one scan, GROUPING SETS over
+    hour/day/week buckets per entity — each input row aggregated once per
+    grain, single shuffle (operators/rollup.py)."""
+    from nfl_feature_store_spark.operators.rollup import time_rollup
+
+    ev = load_table(spark, sf, "events")
+    out = time_rollup(
+        ev,
+        {"n_events": F.count("*").cast("long"), "v_cents": F.sum(_cents("value")).cast("long")},
+        entity_col="user_id",
+        ts_col="ts",
+        grains=("hour", "day", "week"),
+    )
+    return out
+
+
+Q48_SQL = """
+WITH t AS (
+  SELECT user_id, date_trunc('hour', ts) AS gh, date_trunc('day', ts) AS gd,
+         date_trunc('week', ts) AS gw, floor(value * 100 + 0.5)::BIGINT AS vc
+  FROM events
+)
+SELECT user_id,
+       CASE WHEN GROUPING(gh) = 0 THEN 'hour' WHEN GROUPING(gd) = 0 THEN 'day' ELSE 'week' END AS grain,
+       coalesce(gh, gd, gw) AS bucket_start,
+       count(*)::BIGINT AS n_events, sum(vc)::BIGINT AS v_cents
+FROM t GROUP BY GROUPING SETS ((user_id, gh), (user_id, gd), (user_id, gw))
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1282,6 +1313,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_cosine_near_dup": q45_cosine_near_dup,
     "q46_salted_asof": q46_salted_asof,
     "q47_ivf_topk": q47_ivf_topk,
+    "q48_time_rollup": q48_time_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -1322,6 +1354,7 @@ ORACLES: dict[str, str] = {
     "q43_bpe_tokens": Q43_SQL,
     "q45_cosine_near_dup": Q45_SQL,
     "q46_salted_asof": Q16_SQL,  # identical scenario+oracle; salted execution
+    "q48_time_rollup": Q48_SQL,
     # q28-q31, q35, q38-q40, q44: rows-only (sequential recursions /
     # engine-specific hash families), each pinned by a pytest referee
 }
