@@ -45,6 +45,14 @@ def asof_join(
     if feature_cols is None:
         feature_cols = [c for c in features.columns if c not in (entity_col, ts_col)]
     probe_payload = [c for c in probes.columns if c not in (entity_col, probe_ts_col)]
+    clash = set(feature_cols) & set(probe_payload)
+    if clash:
+        # both sides alias back to bare names in the output; a shared name
+        # would yield duplicate columns that break downstream select/toPandas
+        raise ValueError(
+            f"as-of join: probe payload and feature columns collide on "
+            f"{sorted(clash)}; rename one side before joining"
+        )
 
     f_side = features.select(
         F.col(entity_col),
@@ -109,6 +117,14 @@ def salted_asof_join(
     if feature_cols is None:
         feature_cols = [c for c in features.columns if c not in (entity_col, ts_col)]
     probe_payload = [c for c in probes.columns if c not in (entity_col, probe_ts_col)]
+    clash = set(feature_cols) & set(probe_payload)
+    if clash:
+        # both sides alias back to bare names in the output; a shared name
+        # would yield duplicate columns that break downstream select/toPandas
+        raise ValueError(
+            f"as-of join: probe payload and feature columns collide on "
+            f"{sorted(clash)}; rename one side before joining"
+        )
 
     f_side = features.select(
         F.col(entity_col),

@@ -144,21 +144,59 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return out.select(F.col(id_col), bits.alias("simhash64"), F.size("__toks").alias("n_tokens"))
 
 
-def simhash_near_pairs(fingerprints: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
-    """Candidate near-dup pairs among SimHash fingerprints sharing a
-    ``prefix_bits`` bucket, filtered by exact Hamming distance."""
-    bucketed = fingerprints.withColumn(
-        "bucket", F.shiftright(F.col("simhash64"), 64 - prefix_bits)
+def simhash_near_pairs(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs among SimHash fingerprints, multi-table probed.
+
+    A single prefix table misses any near-dup whose differing bit falls inside
+    the prefix window, so ``n_tables`` rotated views of the fingerprint are
+    probed: table *t* buckets on the top ``prefix_bits`` of the fingerprint
+    rotated left by ``t * (64 // n_tables)``. The windows are then disjoint
+    (``prefix_bits <= 64 // n_tables`` enforced), so a pair at Hamming
+    distance *h* can spoil at most *h* windows — every pair with
+    ``h < n_tables`` is GUARANTEED to share a bucket in some table. Candidates
+    are unioned across tables and deduplicated; each table's self-join stays a
+    bucketed equi-join (cost Σ|bucket|² per table, never all-pairs).
+    """
+    step = 64 // n_tables
+    if prefix_bits > step:
+        raise ValueError(
+            f"prefix_bits={prefix_bits} > 64//n_tables={step}: rotated prefix windows "
+            f"would overlap and void the hamming<{n_tables} candidate guarantee"
+        )
+
+    def bucket(t: int) -> F.Column:
+        s = t * step
+        fp = F.col("simhash64")
+        rot = fp if s == 0 else F.shiftleft(fp, s).bitwiseOR(F.shiftrightunsigned(fp, 64 - s))
+        return F.shiftrightunsigned(rot, 64 - prefix_bits)
+
+    tables = F.array(
+        *[F.struct(F.lit(t).alias("tbl"), bucket(t).alias("bkt")) for t in range(n_tables)]
     )
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
+    probed = fingerprints.select(
+        F.col(id_col), F.col("simhash64"), F.explode(tables).alias("p")
+    ).select(id_col, "simhash64", F.col("p.tbl").alias("tbl"), F.col("p.bkt").alias("bkt"))
+    a = probed.alias("a")
+    b = probed.alias("b")
     ham = F.bit_count(F.col("a.simhash64").bitwiseXOR(F.col("b.simhash64")))
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -220,14 +220,18 @@ def elo_pairwise(
         # snapshot keys are stringified: the output join compares string-cast
         # buckets/entities, which is type-stable across fresh and resumed runs
         snap_rows.extend((str(bucket), ent, r) for ent, r in touched.items())
-        for h, a, o in matches:
-            if o is None or o != o:
-                continue  # unplayed/NULL outcome: snapshot scored, no update
-            pre_h, pre_a = touched[h], touched[a]
+        # entities appear <=1x per bucket, so every delta is a function of the
+        # PRE-bucket ratings alone — one vectorized numpy pass per bucket, no
+        # per-match Python float math in the driver's sequential phase
+        played = [(h, a, o) for h, a, o in matches if o is not None and o == o]
+        if played:
+            pre_h = np.fromiter((touched[h] for h, _, _ in played), dtype="float64")
+            pre_a = np.fromiter((touched[a] for _, a, _ in played), dtype="float64")
+            out = np.fromiter((o for _, _, o in played), dtype="float64")
             prob_h = 1.0 / (1.0 + 10.0 ** (-(pre_h - pre_a) / 400.0))
-            delta = k * (o - prob_h)
-            ratings[h] = ratings.get(h, init) + delta
-            ratings[a] = ratings.get(a, init) - delta
+            delta = k * (out - prob_h)
+            ratings.update(zip((h for h, _, _ in played), pre_h + delta))
+            ratings.update(zip((a for _, a, _ in played), pre_a - delta))
         if manifest is not None:
             manifest.record(
                 f"{manifest_prefix}:{bucket}",
@@ -238,6 +242,13 @@ def elo_pairwise(
     cur_bucket: str | None = None
     cur_matches: list[tuple] = []
     for row in ordered.toLocalIterator(prefetchPartitions=False):
+        if row["__b"] is None:
+            # NULL buckets sort first under repartitionByRange and would pool
+            # under the None loop sentinel, never flushed — reject explicitly
+            raise ValueError(
+                f"elo_pairwise: NULL value in bucket column {bucket_col!r}; "
+                "filter or fill bucket values before rating"
+            )
         if row["__b"] != cur_bucket:
             if cur_bucket is not None:
                 flush(cur_bucket, cur_matches)

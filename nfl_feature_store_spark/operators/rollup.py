@@ -36,14 +36,20 @@ def time_rollup(
     grain_cols = {f"__g_{g}": F.date_trunc(g, ts) for g in grains}
     tagged = df.withColumns(grain_cols)
     sets = [[entity_col, f"__g_{g}"] for g in grains]
+    # GROUPING() — not __g_* NULL-ness — identifies each row's grain, so rows
+    # whose ts is NULL (every date_trunc NULL) still label their grain and
+    # bucket correctly, matching the GROUPING()-based DuckDB oracle (Q48).
+    # grouping() is only legal in the aggregate list, so the flags ride along.
     agged = tagged.groupingSets(sets, entity_col, *grain_cols.keys()).agg(
-        *[c.alias(n) for n, c in value_aggs.items()]
+        *[c.alias(n) for n, c in value_aggs.items()],
+        *[F.grouping(f"__g_{g}").alias(f"__on_{g}") for g in grains],
     )
-    # exactly one __g_* column is non-grouped-away per output row
     grain_label = F.coalesce(
-        *[F.when(F.col(f"__g_{g}").isNotNull(), F.lit(g)) for g in grains]
+        *[F.when(F.col(f"__on_{g}") == 0, F.lit(g)) for g in grains]
     )
-    bucket = F.coalesce(*[F.col(f"__g_{g}") for g in grains])
+    bucket = F.coalesce(
+        *[F.when(F.col(f"__on_{g}") == 0, F.col(f"__g_{g}")) for g in grains]
+    )
     return agged.select(
         entity_col,
         grain_label.alias("grain"),

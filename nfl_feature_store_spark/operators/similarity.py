@@ -142,6 +142,27 @@ def lsh_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def _quantizer_fit_input(feat: DataFrame, fit_sample_rows: int | None, seed: int) -> DataFrame:
+    """Bound the quantizer's training set to ~``fit_sample_rows`` rows.
+
+    64 centroids learned from a bounded sample are statistically identical to
+    64 learned from the full corpus, and the full-corpus fit is a multi-pass
+    MLlib job over 100 TB — so the fit input must be corpus-size-independent
+    (the assignment pass still covers every vector). ``None`` disables
+    sampling. The one extra ``count()`` is a metadata-cheap columnar count;
+    Bernoulli sampling overshoots by a hair (5%) so small samples don't
+    undershoot the centroid count.
+    """
+    if fit_sample_rows is None:
+        return feat
+    if fit_sample_rows <= 0:
+        raise ValueError(f"fit_sample_rows must be positive, got {fit_sample_rows}")
+    n = feat.count()
+    if n <= fit_sample_rows:
+        return feat
+    return feat.sample(fraction=min(1.0, 1.05 * fit_sample_rows / n), seed=seed)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -152,12 +173,14 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "qid",
     seed: int = 7,
+    fit_sample_rows: int | None = 20_000,
 ) -> DataFrame:
     """Approximate top-k via an IVF coarse quantizer.
 
-    1. Fit KMeans(n_centroids, seed) on the corpus vectors (MLlib — one
-       training job; at 100 TB fit on a sample and reuse the model across
-       queries; the assignment below is a broadcast-centroid column pass).
+    1. Fit KMeans(n_centroids, seed) on a seeded sample of at most
+       ~``fit_sample_rows`` corpus vectors (MLlib — one bounded training job
+       whose input size is independent of corpus size; the assignment below
+       still covers every vector as a broadcast-centroid column pass).
     2. Assign every corpus vector to its nearest centroid — the inverted
        file. At scale this is materialized once (bucketed table).
     3. Each query probes its ``n_probe`` nearest centroids (tiny
@@ -175,7 +198,7 @@ def ivf_topk(
     )
     feat = c.select("cid", "cv", array_to_vector(F.col("cv")).alias("features"))
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="centroid").fit(
-        feat
+        _quantizer_fit_input(feat, fit_sample_rows, seed)
     )
     inverted = model.transform(feat).select("cid", "cv", "centroid").join(
         c.select("cid", "cn"), "cid"

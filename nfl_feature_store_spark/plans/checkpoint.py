@@ -126,22 +126,44 @@ class IcebergSink:
         return spark.table(self.table).where(F.col(self.partition_col) == partition)
 
 
-def _input_fingerprints(tagged: DataFrame, partition_col: str) -> dict[str, str]:
-    """One aggregate pass over the tagged input → per-partition content
-    fingerprint ``{rows}:{max_ts}:{content_hash}``. The content hash is a sum
-    of per-row xxhash64 over every column — order-independent, so it is
-    stable under any partitioning/shuffle of the same rows."""
+def _input_fingerprints(
+    tagged: DataFrame,
+    partition_col: str,
+    ts_col: str | None = "ts",
+    staleness: str = "content",
+) -> dict[str, str]:
+    """One aggregate pass over the tagged input → per-partition fingerprint
+    ``{rows}:{max_ts}:{content_hash}``.
+
+    ``staleness="content"`` (strict): the content hash is a sum of per-row
+    xxhash64 over every column — order-independent, so it is stable under any
+    partitioning/shuffle of the same rows; any in-place mutation flips it.
+    Honest price: O(corpus) hashing on every invocation even when nothing
+    changed (Iceberg snapshot IDs make this O(metadata) in production).
+
+    ``staleness="cheap"``: fingerprint is (row count, max ``ts_col``) only —
+    one cheap agg, no full-column hash scan. Detects appends, deletes, and
+    watermark advance, but NOT in-place edits that preserve both count and
+    max ts. For append-only ingestion this is the right trade.
+
+    ``ts_col=None`` (or a column absent from the input) drops the max-ts term
+    — custom ``partition_expr`` inputs need not carry a ``ts`` column.
+    """
+    if staleness not in ("content", "cheap"):
+        raise ValueError(f"staleness must be 'content' or 'cheap', got {staleness!r}")
     cols = [c for c in tagged.columns if c != partition_col]
-    rows = (
-        tagged.groupBy(partition_col)
-        .agg(
-            F.count("*").alias("n"),
-            F.max("ts").alias("mx"),
+    has_ts = ts_col is not None and ts_col in tagged.columns
+    aggs = [
+        F.count("*").alias("n"),
+        (F.max(ts_col) if has_ts else F.lit(None)).alias("mx"),
+        (
             # decimal(38,0) accumulator: ANSI-safe for ~10^18 rows of int64 hashes
-            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
-        )
-        .collect()
-    )
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)"))
+            if staleness == "content"
+            else F.lit(None)
+        ).alias("h"),
+    ]
+    rows = tagged.groupBy(partition_col).agg(*aggs).collect()
     return {r[partition_col]: f"{r['n']}:{r['mx']}:{r['h']}" for r in rows}
 
 
@@ -156,6 +178,8 @@ def run_partitioned_backfill(
     lookback_parts: int | None = 1,
     mode: str = "upsert",
     sink=None,
+    ts_col: str | None = "ts",
+    staleness: str = "content",
 ) -> list[str]:
     """Backfill ``build(transcripts)`` partition-by-partition, resumably.
 
@@ -173,6 +197,14 @@ def run_partitioned_backfill(
     lookback window covers it. ``mode="refresh"`` rebuilds everything
     regardless (reference feature_store_runner.py:45).
 
+    ``staleness`` picks the fingerprint mode (see :func:`_input_fingerprints`):
+    ``"content"`` (default, strict full-column hash) vs ``"cheap"``
+    (rows + max-ts only; append-only detection, no O(corpus) hash scan).
+    ``ts_col`` names the watermark column for fingerprints and output
+    metrics; pass ``None`` (or use inputs without a ``ts`` column) to skip
+    the watermark terms — required for custom ``partition_expr`` over
+    ts-less tables.
+
     Returns the partitions built this run.
     """
     if mode not in ("upsert", "refresh"):
@@ -184,7 +216,7 @@ def run_partitioned_backfill(
         else F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
     )
     tagged = transcripts.withColumn(partition_col, part)
-    fps = _input_fingerprints(tagged, partition_col)
+    fps = _input_fingerprints(tagged, partition_col, ts_col=ts_col, staleness=staleness)
     parts = sorted(fps)
     built: list[str] = []
     for i, p in enumerate(parts):
@@ -200,10 +232,11 @@ def run_partitioned_backfill(
         out = out.filter(F.col(partition_col) == p).drop(partition_col)
         sink_meta = sink.write_partition(out, p)
         written = sink.read_partition(spark, p)
+        has_ts = ts_col is not None and ts_col in written.columns
         agg = written.agg(
             F.count("*").alias("rows_out"),
-            F.min("ts").alias("ts_min"),
-            F.max("ts").alias("ts_max"),
+            (F.min(ts_col) if has_ts else F.lit(None)).alias("ts_min"),
+            (F.max(ts_col) if has_ts else F.lit(None)).alias("ts_max"),
         ).collect()[0]
         manifest.record(
             p,

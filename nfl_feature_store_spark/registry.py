@@ -1076,7 +1076,7 @@ def q41_composite_rank(spark: SparkSession, sf: str) -> DataFrame:
 Q41_SQL = """
 WITH daily AS (
   SELECT user_id, substring(ts::VARCHAR, 1, 10) AS d,
-         sum(floor(value * 100 + 0.5)::BIGINT) AS v_cents,
+         sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS v_cents,
          count(*)::BIGINT AS n_events
   FROM events GROUP BY 1, 2
 ), sub AS (

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -145,6 +146,92 @@ def test_refresh_mode_rebuilds_everything(spark, small_pdf, tmp_path_factory):
     )
     with pytest.raises(ValueError):
         run_partitioned_backfill(spark, sdf, out, m, _build, mode="rebuild")
+
+
+def test_cheap_staleness_mode(spark, tmp_path_factory):
+    """staleness='cheap' fingerprints on (rows, max ts) only — no full-column
+    hash scan. It must behave like strict mode for append-only change
+    (idempotent rerun, append rebuilds) while documentedly NOT detecting
+    in-place edits that preserve both count and max ts."""
+    rows = []
+    base = pd.Timestamp("2026-03-01")
+    for d in range(3):
+        for j in range(8):
+            rows.append(
+                (f"c{j % 2}", d * 10 + j, "user", f"txt {d} {j}", "",
+                 base + pd.Timedelta(days=d, seconds=j * 60))
+            )
+    pdf0 = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    pdf0["turn_idx"] = pdf0["turn_idx"].astype("int32")
+    sdf = transcripts_from_pandas(spark, pdf0)
+    out = str(tmp_path_factory.mktemp("cheap"))
+    mpath = os.path.join(out, "manifest.jsonl")
+    parts = run_partitioned_backfill(
+        spark, sdf, out, PartitionManifest(mpath), _build, staleness="cheap"
+    )
+    assert len(parts) == 3
+    # idempotent rerun: the cheap fingerprint is stable
+    assert run_partitioned_backfill(
+        spark, sdf, out, PartitionManifest(mpath), _build, staleness="cheap"
+    ) == []
+
+    # appending a row to day 1 changes its row count -> day 1 + dependent rebuild
+    extra = pd.DataFrame(
+        [("c0", 99, "user", "appended", "", base + pd.Timedelta(days=1, seconds=30))],
+        columns=pdf0.columns,
+    ).astype({"turn_idx": "int32"})
+    sdf2 = transcripts_from_pandas(spark, pd.concat([pdf0, extra], ignore_index=True))
+    rebuilt = run_partitioned_backfill(
+        spark, sdf2, out, PartitionManifest(mpath), _build, staleness="cheap"
+    )
+    assert rebuilt == [parts[1], parts[2]]
+
+    # the documented blind spot: an in-place edit preserving count AND max ts
+    # is invisible to cheap mode but caught by strict content mode
+    pdf_mut = pdf0.copy()
+    pdf_mut.loc[0, "text"] = "MUTATED"
+    sdf3 = transcripts_from_pandas(spark, pdf_mut)
+    out2 = str(tmp_path_factory.mktemp("cheap2"))
+    mpath2 = os.path.join(out2, "manifest.jsonl")
+    run_partitioned_backfill(spark, sdf, out2, PartitionManifest(mpath2), _build, staleness="cheap")
+    assert run_partitioned_backfill(
+        spark, sdf3, out2, PartitionManifest(mpath2), _build, staleness="cheap"
+    ) == []  # cheap mode misses it (by contract)
+    assert run_partitioned_backfill(
+        spark, sdf3, out2, PartitionManifest(mpath2), _build, staleness="content"
+    ) != []  # strict mode catches it
+
+    with pytest.raises(ValueError, match="staleness"):
+        run_partitioned_backfill(
+            spark, sdf, out, PartitionManifest(mpath), _build, staleness="fast"
+        )
+
+
+def test_custom_partition_expr_without_ts_column(spark, tmp_path_factory):
+    """ADVICE round-2: a custom partition_expr (conv_id bucket) over an input
+    with NO ts column must work — the watermark terms are skipped."""
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {"conv_id": [f"c{i % 4}" for i in range(40)], "score": np.arange(40.0)}
+    )
+    sdf = spark.createDataFrame(pdf)
+    out = str(tmp_path_factory.mktemp("nots"))
+    m = PartitionManifest(os.path.join(out, "manifest.jsonl"))
+    built = run_partitioned_backfill(
+        spark,
+        sdf,
+        out,
+        m,
+        build=lambda df: df.groupBy("conv_id").agg(F.sum("score").alias("total")),
+        partition_expr=F.col("conv_id"),
+        lookback_parts=0,
+        ts_col=None,
+    )
+    assert sorted(built) == ["c0", "c1", "c2", "c3"]
+    for e in m.entries():
+        assert e["rows_out"] == 1
+        assert e["ts_min"] == "None" and e["ts_max"] == "None"
 
 
 def test_warmup_rows_match_unpartitioned(spark, small_pdf, tmp_path_factory):

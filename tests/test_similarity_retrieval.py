@@ -91,6 +91,55 @@ def test_simhash_near_pairs_finds_planted_dups(spark):
     assert (pairs["hamming"] >= 0).all()
 
 
+def test_simhash_multi_table_catches_prefix_window_flips(spark):
+    """Round-2 VERDICT #4: a single prefix table misses near-dups whose
+    differing bit falls inside the prefix window. With 4 rotated tables the
+    windows are disjoint, so ANY pair at hamming < 4 must be bucketed
+    together — including flips inside table 0's own top-16-bit window."""
+    base = np.int64(0x1234_5678_9ABC_DEF0)  # fixed 64-bit pattern
+    rows, expected = [(0, int(base))], set()
+    # flip one bit inside EACH table's prefix window (tables rotate by 16):
+    # windows are bits [48..63], [32..47], [16..31], [0..15]
+    for t, bit in enumerate([60, 40, 20, 5]):
+        rows.append((t + 1, int(base ^ np.int64(1 << bit))))
+        expected.add((0, t + 1))
+    fps = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "simhash64"]),
+        schema="doc_id long, simhash64 long",
+    )
+    pairs = simhash_near_pairs(fps, id_col="doc_id", max_hamming=1, prefix_bits=16).toPandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert expected <= got, f"missed planted single-bit flips: {expected - got}"
+    # pairs among the variants themselves (hamming 2) are excluded by the filter
+    assert (pairs["hamming"] <= 1).all()
+    # no duplicate pairs despite multi-table probing
+    assert pairs.groupby(["id_a", "id_b"]).size().max() == 1
+
+    # overlapping windows would void the guarantee — rejected loudly
+    with pytest.raises(ValueError, match="prefix_bits"):
+        simhash_near_pairs(fps, id_col="doc_id", prefix_bits=32, n_tables=4)
+
+
+def test_ivf_fit_input_is_corpus_size_independent(spark):
+    """Round-2 VERDICT #2: the KMeans quantizer must fit on a bounded sample.
+    The fit-input row count stays ~fit_sample_rows as the corpus quadruples."""
+    from nfl_feature_store_spark.operators.similarity import _quantizer_fit_input
+
+    def corpus(n):
+        return spark.range(n).selectExpr("id AS cid", "array(cast(id AS double)) AS features")
+
+    small = _quantizer_fit_input(corpus(1000), 200, seed=7).count()
+    big = _quantizer_fit_input(corpus(4000), 200, seed=7).count()
+    assert 120 <= small <= 320
+    assert 120 <= big <= 320  # 4x the corpus, same bounded fit input
+
+    # corpora at or under the budget pass through whole; None disables sampling
+    assert _quantizer_fit_input(corpus(150), 200, seed=7).count() == 150
+    assert _quantizer_fit_input(corpus(1000), None, seed=7).count() == 1000
+    with pytest.raises(ValueError):
+        _quantizer_fit_input(corpus(10), 0, seed=7)
+
+
 def test_composite_rank_matches_pandas(spark):
     """Tie semantics of the composite: sub-ranks are method='max' descending;
     the composite is method='max' ascending on the weighted mean."""

@@ -217,6 +217,119 @@ def test_elo_pairwise_resume_rejects_nonstring_buckets(spark, tmp_path):
         elo_pairwise(m, "home", "away", "outcome", "bucket", manifest=mf2)
 
 
+def test_elo_pairwise_rejects_null_bucket(spark):
+    """ADVICE round-2: NULL buckets sort first under repartitionByRange and
+    would pool under the None loop sentinel, never flushed — silently-NULL
+    elo output. Must fail fast instead."""
+    import pandas as pd
+
+    from nfl_feature_store_spark.operators.elo import elo_pairwise
+
+    m = pd.DataFrame(
+        {
+            "home": ["A", "A"],
+            "away": ["B", "B"],
+            "outcome": [1.0, 1.0],
+            "bucket": ["b1", None],
+        }
+    )
+    with pytest.raises(ValueError, match="NULL value in bucket"):
+        elo_pairwise(spark.createDataFrame(m), "home", "away", "outcome", "bucket").count()
+
+
+def test_elo_pairwise_vectorized_big_bucket_matches_referee(spark):
+    """Round-2 VERDICT #5: within-bucket updates are one vectorized numpy pass
+    over pre-bucket ratings. A many-matches-per-bucket fixture (200 pairs x 3
+    buckets, every entity <=1x per bucket) must match a per-match scalar
+    referee exactly — vectorization is a pure refactor of the math."""
+    import numpy as np
+    import pandas as pd
+
+    from nfl_feature_store_spark.operators.elo import elo_pairwise
+
+    rng = np.random.default_rng(41)
+    n_pairs, k = 200, 20.0
+    rows = []
+    for b in range(3):
+        perm = rng.permutation(2 * n_pairs)
+        for i in range(n_pairs):
+            h, a = f"e{perm[2 * i]}", f"e{perm[2 * i + 1]}"
+            rows.append((h, a, float(rng.integers(0, 2)), f"b{b}"))
+    pdf = pd.DataFrame(rows, columns=["home", "away", "outcome", "bucket"])
+
+    # scalar referee: sequential per-match updates from pre-bucket ratings
+    ratings: dict[str, float] = {}
+    exp_pre = []
+    for b in ("b0", "b1", "b2"):
+        chunk = pdf[pdf.bucket == b]
+        pre = {e: ratings.get(e, 1500.0) for e in pd.concat([chunk.home, chunk.away])}
+        for r in chunk.itertuples():
+            ph, pa = pre[r.home], pre[r.away]
+            exp_pre.append((r.home, r.away, b, ph, pa))
+            prob = 1.0 / (1.0 + 10.0 ** (-(ph - pa) / 400.0))
+            ratings[r.home] = ph + k * (r.outcome - prob)
+            ratings[r.away] = pa - k * (r.outcome - prob)
+    exp = pd.DataFrame(exp_pre, columns=["home", "away", "bucket", "eh", "ea"])
+
+    got = (
+        elo_pairwise(spark.createDataFrame(pdf), "home", "away", "outcome", "bucket", k=k)
+        .toPandas()
+        .merge(exp, on=["home", "away", "bucket"])
+    )
+    assert len(got) == 3 * n_pairs
+    np.testing.assert_allclose(got["elo_pre_home"], got["eh"], rtol=0, atol=0)
+    np.testing.assert_allclose(got["elo_pre_away"], got["ea"], rtol=0, atol=0)
+
+
+def test_asof_join_rejects_colliding_columns(spark):
+    """ADVICE round-2: probe payload and feature columns both alias back to
+    bare names — a shared name would produce duplicate output columns."""
+    from nfl_feature_store_spark.operators.asof import asof_join, salted_asof_join
+
+    feats = spark.createDataFrame(
+        [("c1", 1.0, 5.0)], "conv_id string, ts double, score double"
+    )
+    probes = spark.createDataFrame(
+        [("c1", 2.0, 9.0)], "conv_id string, probe_ts double, score double"
+    )
+    with pytest.raises(ValueError, match="collide.*score"):
+        asof_join(feats, probes)
+    with pytest.raises(ValueError, match="collide.*score"):
+        salted_asof_join(feats, probes)
+
+
+def test_time_rollup_null_ts_keeps_grain_label(spark):
+    """ADVICE round-2: grain labels derive from GROUPING(), not __g_* NULLness,
+    so rows with NULL ts still land in every grain with a correct label (and a
+    NULL bucket_start), matching the GROUPING()-based DuckDB oracle."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from nfl_feature_store_spark.operators.rollup import time_rollup
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "b"],
+            "ts": [pd.Timestamp("2026-01-01 10:30"), pd.NaT, pd.NaT],
+            "chars": [10, 20, 30],
+        }
+    )
+    out = time_rollup(
+        spark.createDataFrame(pdf),
+        {"n": F.count("*"), "total": F.sum("chars")},
+        grains=("hour", "day"),
+    ).toPandas()
+    assert not out["grain"].isna().any()
+    # entity a: NULL-ts and real-ts rows are separate buckets per grain
+    a_hour = out[(out.conv_id == "a") & (out.grain == "hour")]
+    assert len(a_hour) == 2
+    assert set(a_hour["total"]) == {10, 20}
+    # entity b (all NULL ts): one NULL bucket per grain, labeled correctly
+    b = out[out.conv_id == "b"]
+    assert sorted(b["grain"]) == ["day", "hour"]
+    assert b["bucket_start"].isna().all()
+
+
 def test_composite_rank_rejects_weight_mismatch(spark):
     from nfl_feature_store_spark.operators.rank import composite_rank
 
