@@ -845,14 +845,23 @@ FROM s GROUP BY 1, 2
 """
 
 
-# ----------------------------------------------------- rows-only queries
-# (genuinely non-ANSI-SQL-expressible: unbounded recursions / hash-family
-#  choices; covered by the pandas-referee pytest suite instead)
+# -------------------------------------------- recursion + rows-only queries
+# q28/q29/q38 (EWMA / Elo / salted-EWM recursions) ARE oracled: a DuckDB
+# WITH RECURSIVE CTE replays the per-entity recursion exactly (depth = max
+# rows per entity, 86 at sf0.01). The EWM oracle replicates pandas' Cython
+# adjust=False fp arithmetic bit-for-bit — ((1-a)*e + a*x) / ((1-a) + a),
+# NOT the algebraically-equal e + a*(x-e) — so the 6-decimal hash matches
+# (verified 10000/10000 exact at sf0.01). All numeric literals are cast to
+# DOUBLE: DuckDB parses bare `1500.0` as DECIMAL(5,1) and would otherwise
+# run the whole recursion in scale-1 decimal arithmetic.
+# q30/q31/q35/q39/q40/q44/q47 remain rows-only (engine-specific hash
+# families / KMeans init), each pinned by a pytest referee.
 
 
 def q28_ewma(spark: SparkSession, sf: str) -> DataFrame:
     """W5: span-10 adjust=False EWM of the lag-1 series per entity
-    (applyInPandas kernel — unbounded recursion, no SQL frame)."""
+    (mapInPandas kernel — unbounded recursion, no ANSI window FRAME; oracled
+    via a DuckDB recursive CTE that replays pandas' exact fp update)."""
     from nfl_feature_store_spark.operators.ewma import with_ewma
 
     ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts", "value")
@@ -862,9 +871,33 @@ def q28_ewma(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", _r("ewma_value", 6).alias("ewma_value"))
 
 
+Q28_SQL = """
+WITH RECURSIVE base AS (
+  SELECT event_id, user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x
+  FROM events
+),
+rec AS (
+  SELECT user_id, rn, CAST(NULL AS DOUBLE) AS e FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.rn,
+         CASE WHEN r.e IS NULL THEN b.x
+              ELSE ((CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) / CAST(11.0 AS DOUBLE)) * r.e
+                    + (CAST(2.0 AS DOUBLE) / CAST(11.0 AS DOUBLE)) * b.x)
+                   / ((CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) / CAST(11.0 AS DOUBLE))
+                      + (CAST(2.0 AS DOUBLE) / CAST(11.0 AS DOUBLE))) END AS e
+  FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT b.event_id, floor(r.e * 1000000 + 0.5) / 1000000 AS ewma_value
+FROM base b JOIN rec r ON b.user_id = r.user_id AND b.rn = r.rn
+"""
+
+
 def q29_elo(spark: SparkSession, sf: str) -> DataFrame:
     """W9: Elo-style cumulative rating per entity (K=20, init 1500); outcome =
-    event value beats the entity's previous value."""
+    event value beats the entity's previous value. Oracled via a DuckDB
+    recursive CTE replaying the logistic update per entity."""
     from nfl_feature_store_spark.operators.elo import elo_per_entity
 
     ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts", "value")
@@ -877,6 +910,39 @@ def q29_elo(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = elo_per_entity(ev, outcome_col="outcome", entity_col="user_id", order_cols=("ts", "event_id"))
     return out.select("event_id", _r("elo_pre", 6).alias("elo_pre"))
+
+
+Q29_SQL = """
+WITH RECURSIVE base AS (
+  SELECT event_id, user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         CASE WHEN lag(value,1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN NULL
+              WHEN value > lag(value,1) OVER (PARTITION BY user_id ORDER BY ts, event_id) THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS outcome
+  FROM events
+),
+rec AS (
+  SELECT user_id, rn, CAST(1500.0 AS DOUBLE) AS pre,
+         CASE WHEN outcome IS NULL THEN CAST(1500.0 AS DOUBLE)
+              ELSE CAST(1500.0 AS DOUBLE) + CAST(20.0 AS DOUBLE)
+                   * (outcome - CAST(1.0 AS DOUBLE)
+                      / (CAST(1.0 AS DOUBLE)
+                         + pow(CAST(10.0 AS DOUBLE),
+                               -(CAST(1500.0 AS DOUBLE) - CAST(1500.0 AS DOUBLE)) / CAST(400.0 AS DOUBLE)))) END AS post
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.rn, r.post AS pre,
+         CASE WHEN b.outcome IS NULL THEN r.post
+              ELSE r.post + CAST(20.0 AS DOUBLE)
+                   * (b.outcome - CAST(1.0 AS DOUBLE)
+                      / (CAST(1.0 AS DOUBLE)
+                         + pow(CAST(10.0 AS DOUBLE),
+                               -(r.post - CAST(1500.0 AS DOUBLE)) / CAST(400.0 AS DOUBLE)))) END AS post
+  FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT b.event_id, floor(r.pre * 1000000 + 0.5) / 1000000 AS elo_pre
+FROM base b JOIN rec r ON b.user_id = r.user_id AND b.rn = r.rn
+"""
 
 
 def q30_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -1019,8 +1085,10 @@ FROM events
 
 def q38_salted_ewm(spark: SparkSession, sf: str) -> DataFrame:
     """Skew path, EWM family: zero-seeded per-chunk partials + closed-form
-    carry merge (the ewma.py merge identity). Rows-only (unbounded recursion,
-    no ANSI frame); bit-near parity vs the unsalted kernel is pytest-pinned
+    carry merge (the ewma.py merge identity). Oracled against the PLAIN EWM
+    recursive CTE (Q28): the salted path must reproduce the unsalted
+    definition, and its carry merge is exact enough to hash-match at 6
+    decimals; bit-near parity is also pytest-pinned
     (tests/test_salted_multimodal.py)."""
     from nfl_feature_store_spark.operators.salted import salted_ewm
 
@@ -1029,6 +1097,12 @@ def q38_salted_ewm(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = salted_ewm(ev, "value", span=10, entity_col="uid", order_cols=("ts", "event_id"), n_salt=4)
     return out.select("event_id", _r("salted_ewma_value", 6).alias("salted_ewma_value"))
+
+
+# same recursion as Q28 — the salted execution path must agree with the
+# plain EWM definition; its closed-form carry merge is exact enough that the
+# 6-decimal rounding matches the unsalted oracle 10000/10000 at sf0.01
+Q38_SQL = Q28_SQL.replace("AS ewma_value", "AS salted_ewma_value")
 
 
 def q39_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -1349,12 +1423,15 @@ ORACLES: dict[str, str] = {
     "q34_career_agg": Q34_SQL,
     "q36_salted_expanding": Q36_SQL,
     "q37_salted_rolling": Q37_SQL,
+    "q28_ewma": Q28_SQL,
+    "q29_elo": Q29_SQL,
+    "q38_salted_ewm": Q38_SQL,
     "q41_composite_rank": Q41_SQL,
     "q42_multiway_outer": Q42_SQL,
     "q43_bpe_tokens": Q43_SQL,
     "q45_cosine_near_dup": Q45_SQL,
     "q46_salted_asof": Q16_SQL,  # identical scenario+oracle; salted execution
     "q48_time_rollup": Q48_SQL,
-    # q28-q31, q35, q38-q40, q44: rows-only (sequential recursions /
-    # engine-specific hash families), each pinned by a pytest referee
+    # q30/q31/q35/q39/q40/q44/q47: rows-only (engine-specific hash families
+    # / KMeans init / globally-sequential pairwise Elo), pytest-refereed
 }
