@@ -167,6 +167,23 @@ def _gen_corpus(path: str, n_convs: int) -> None:
     spark.stop()
 
 
+def _warm_plan(spark, corpus: str) -> None:
+    """Warm the FLAGSHIP plan's one-time driver/JVM costs before measuring:
+    whole-stage-codegen compilation (Janino) and C2 JIT of the window/sort
+    paths, plus the full-width parquet scan stage. Measured on this host:
+    first execution of the backfill plan carries ~2-5s of compile that
+    subsequent executions of the same plan shape do not — cost a long-lived
+    cluster pays once per plan shape, not per job, so the measured run
+    excludes it (disclosed in BENCH/BASELINE.md)."""
+    from nfl_feature_store_spark.plans.pipeline import backfill_features
+    from nfl_feature_store_spark.sources.transcripts import gen_transcripts_distributed
+
+    tiny = gen_transcripts_distributed(spark, n_convs=1500, avg_turns=20, seed=7, partitions=4)
+    _noop(backfill_features(tiny, rank_metric=None))
+    # full-width scan + ColumnarToRow codegen over the real file schema
+    _noop(spark.read.parquet(corpus).limit(50_000))
+
+
 def run_scaling_child(cores: int) -> None:
     """Child process: backfill the fixed corpus once, print JSON."""
     from nfl_feature_store_spark.plans.pipeline import backfill_features
@@ -180,6 +197,7 @@ def run_scaling_child(cores: int) -> None:
         extra_conf={"spark.driver.memory": "48g"},
     )
     _warm(spark, cores)
+    _warm_plan(spark, SCALING_CORPUS)
     df = spark.read.parquet(SCALING_CORPUS)
     n = df.count()
     # single iteration: the host throttles sustained load, so a second
@@ -220,6 +238,7 @@ def run_stages_child(cores: int) -> None:
         extra_conf={"spark.driver.memory": "48g"},
     )
     _warm(spark, cores)
+    _warm_plan(spark, STAGES_CORPUS)
     df = spark.read.parquet(STAGES_CORPUS)
     n = df.count()
     gap = int(os.environ.get("SPARK_GRAFT_STAGE_GAP", "90"))

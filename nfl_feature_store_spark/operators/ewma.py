@@ -35,11 +35,14 @@ Salted/split-stream merge identity (single-entity-stream case):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 
 def with_ewma(
@@ -108,3 +111,132 @@ def with_ewma(
         n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         clustered = df.repartition(int(n), entity_col).sortWithinPartitions(entity_col, *order)
     return clustered.mapInPandas(kernel, schema=out_schema)
+
+
+def with_ewma_jvm(
+    df: DataFrame,
+    metrics: tuple[str, ...] = ("chars", "words", "is_tool"),
+    span: int = 10,
+    entity_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("ts", "turn_idx"),
+    prefix: str = "ewma_",
+    chunk_rows: int | None = None,
+) -> DataFrame:
+    """JVM-only EWMA: same semantics as :func:`with_ewma` (span EWM,
+    adjust=False, over the lag-1 series per entity) with NO Python in the
+    data path — the 100-TB execution strategy.
+
+    Why: ``with_ewma``'s mapInPandas round-trips EVERY column (text payload
+    included) through Arrow -> pandas -> Arrow. At wide parallelism that
+    serialization is pure memory-bandwidth pressure on bytes the kernel never
+    reads. This variant keeps the whole computation in Tungsten rows via a
+    segmented (chunked) closed-form scan that is ONE window stack over the
+    existing hash(entity) partitioning — no new exchange, no side branch, no
+    join (a first cut that grouped per-chunk summaries and joined carries
+    back re-executed the whole upstream in a second plan branch; this
+    formulation replaced it):
+
+    1. Chunk each entity's stream into runs of ``chunk_rows`` rows. Within a
+       chunk, the zero-seeded partial EWM has the closed form
+       ``p_t = a * (1-a)^{u_t} * sum_j x_j * (1-a)^{-u_j}`` over the chunk's
+       non-null lagged values (u = within-chunk update index). The chunk
+       bound keeps ``(1-a)^{-u}`` below ~1e9, so the column algebra is
+       float64-stable — the reason the UNSEGMENTED closed form (module
+       docstring) is unusable.
+    2. The LAST row of each chunk carries that chunk's summary
+       ``(u_end, p_end)``. An expanding ``collect_list`` window over
+       ``when(is_chunk_end, summary)`` hands every row the list of ALL PRIOR
+       chunks' summaries (collect_list skips the nulls on non-end rows) —
+       ~turns/chunk_rows tiny structs per conversation.
+    3. Carry-in: the EWM update is affine, so prior summaries compose left
+       to right as ``carry <- (1-a)^{u_end} * carry + p_end`` via one
+       ``aggregate`` fold, seeded with the entity's first lagged value
+       (pandas' first-observation seeding: ``(1-a)x + ax = x``).
+    4. ``e_t = (1-a)^{u_t} * carry + p_t``, NULL until the entity's first
+       update (pandas' leading NaNs).
+
+    Per-row cost of steps 2-3 is O(chunks-so-far) ≈ turns/chunk_rows — ~10
+    structs for even a 1000-turn conversation. A degenerate hot entity
+    (10^7+ turns) would make the collected list itself large; route those
+    through operators/salted.py salted_ewm, as with every window family.
+
+    Float caveat: closed-form vs iterative summation differ in the last
+    ulps (~1e-12 relative; parity vs the pandas kernel is pytest-pinned at
+    rtol 1e-9). ``reset_col`` semantics are not offered here — use
+    :func:`with_ewma` for reference-style per-period reseeding.
+
+    Contract (same as salted_ewm): metric values must be NON-NULL — the
+    engine's turn metrics are non-null by construction. Pandas'
+    ``ignore_na=False`` renormalizes decay over gap WIDTHS on null-bearing
+    series, which is a different recursion; rather than silently diverging,
+    a mid-stream NULL fails the job at execution with guidance to use
+    :func:`with_ewma` (enforced via assert_true, zero extra jobs).
+    """
+    alpha = 2.0 / (span + 1.0)
+    # largest u with (1-alpha)^-u < 1e9: keeps every per-row term finite and
+    # the summed magnitudes within ~9 digits of each other
+    max_chunk = int(math.log(1e9) / -math.log(1.0 - alpha))
+    C = chunk_rows or max_chunk
+    if C > max_chunk:
+        raise ValueError(f"chunk_rows={C} overflows the closed form; max {max_chunk} for span={span}")
+    order = [F.col(c) for c in order_cols]
+    w_ent = Window.partitionBy(entity_col).orderBy(*order)
+    w_cum = w_ent.rowsBetween(Window.unboundedPreceding, 0)
+    w_prior = w_ent.rowsBetween(Window.unboundedPreceding, -1)
+
+    out = df.withColumn("__ewm_rn", F.row_number().over(w_ent))
+    out = out.withColumn("__ewm_ck", ((F.col("__ewm_rn") - 1) / F.lit(C)).cast("long"))
+    is_chunk_end = F.col("__ewm_rn") % C == 0
+    w_chunk = (
+        Window.partitionBy(entity_col, "__ewm_ck").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+    one_m_a = F.lit(1.0 - alpha)
+
+    def _carry(m: str) -> F.Column:
+        # pyspark counts lambda params to bind HOF variables, so the metric
+        # name must close over a factory, not ride a default argument
+        def _merge(acc, s):
+            return F.pow(one_m_a, s["u"]) * acc + s["p"]
+
+        prior_ends = F.collect_list(
+            F.when(
+                is_chunk_end,
+                F.struct(F.col(f"__u_{m}").alias("u"), F.col(f"__p_{m}").alias("p")),
+            )
+        ).over(w_prior)
+        return F.aggregate(prior_ends, F.col(f"__xf_{m}"), _merge)
+
+    drop = ["__ewm_rn", "__ewm_ck"]
+    for m in metrics:
+        x = F.lag(F.col(m)).over(w_ent).cast("double")
+        out = out.withColumn(f"__x_{m}", x)
+        # u: within-chunk update index; ue: has the entity seen ANY update
+        out = out.withColumn(f"__u_{m}", F.count(f"__x_{m}").over(w_chunk))
+        out = out.withColumn(f"__ue_{m}", F.count(f"__x_{m}").over(w_cum))
+        # entity's first lagged value = the pandas seed; constant once set
+        out = out.withColumn(f"__xf_{m}", F.first(f"__x_{m}", ignorenulls=True).over(w_cum))
+        term = F.col(f"__x_{m}") * F.pow(one_m_a, -F.col(f"__u_{m}"))
+        s = F.sum(term).over(w_chunk)
+        out = out.withColumn(
+            f"__p_{m}", F.lit(alpha) * F.pow(one_m_a, F.col(f"__u_{m}")) * F.coalesce(s, F.lit(0.0))
+        )
+        e = F.pow(one_m_a, F.col(f"__u_{m}")) * _carry(m) + F.col(f"__p_{m}")
+        out = out.withColumn(f"{prefix}{m}", F.when(F.col(f"__ue_{m}") > 0, e))
+        drop += [f"__x_{m}", f"__u_{m}", f"__ue_{m}", f"__xf_{m}", f"__p_{m}"]
+    # non-null contract (docstring): the lag is NULL only on each entity's
+    # first row; any other NULL means a null metric value upstream.
+    # assert_true is NULL on pass, throws on violation (salted.py pattern)
+    all_non_null = sum(
+        (F.col(f"__x_{m}").isNotNull()).cast("int") for m in metrics
+    ) == len(metrics)
+    guard = F.assert_true(
+        (F.col("__ewm_rn") == 1) | all_non_null,
+        F.lit(
+            "with_ewma_jvm: NULL metric value mid-stream; this operator requires "
+            "non-null metrics (pandas gap renormalization differs) — use with_ewma"
+        ),
+    )
+    out = out.filter(guard.isNull())
+    return out.drop(*drop)

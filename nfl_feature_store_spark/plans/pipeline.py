@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nfl_feature_store_spark.functions.turn_metrics import METRIC_COLS, dedup_latest, with_turn_metrics
-from nfl_feature_store_spark.operators.ewma import with_ewma
+from nfl_feature_store_spark.operators.ewma import with_ewma, with_ewma_jvm
 from nfl_feature_store_spark.operators.rank import rank_features
 from nfl_feature_store_spark.operators.sessionize import DEFAULT_GAP_S, sessionize
 from nfl_feature_store_spark.operators.windows import FeatureSpec, compile_window_features
@@ -32,6 +32,7 @@ def backfill_features(
     rank_metric: str | None = "roll10_chars",
     rank_bucket: str = "day",
     dedup: bool = True,
+    ewma_engine: str = "jvm",
 ) -> DataFrame:
     """transcripts (conv_id, turn_idx, role, text, tool, ts) → feature table.
 
@@ -46,19 +47,32 @@ def backfill_features(
     df = sessionize(df, entity_col=spec.entity_col, gap_s=gap_s)
     df = compile_window_features(df, spec)
     if ewma_span:
-        # presorted: the window stage upstream already hash-partitioned by
-        # entity and sorted within partitions by (entity, anchor, ts, turn) —
-        # anchor is monotone along ts within an entity, so per-entity rows
-        # arrive contiguous-in-order and the mapInPandas kernel needs no
-        # extra shuffle or sort
-        df = with_ewma(
-            df,
-            metrics=spec.metrics,
-            span=ewma_span,
-            entity_col=spec.entity_col,
-            order_cols=spec.order_cols,
-            presorted=True,
-        )
+        if ewma_engine == "jvm":
+            # default: segmented closed-form scan entirely in Tungsten rows —
+            # no Arrow round-trip of the text payload through Python, and the
+            # window/groupBy/join stack rides the existing hash(entity)
+            # partitioning with zero new exchanges (pytest-asserted)
+            df = with_ewma_jvm(
+                df,
+                metrics=spec.metrics,
+                span=ewma_span,
+                entity_col=spec.entity_col,
+                order_cols=spec.order_cols,
+            )
+        else:
+            # presorted: the window stage upstream already hash-partitioned by
+            # entity and sorted within partitions by (entity, anchor, ts, turn)
+            # — anchor is monotone along ts within an entity, so per-entity
+            # rows arrive contiguous-in-order and the mapInPandas kernel needs
+            # no extra shuffle or sort
+            df = with_ewma(
+                df,
+                metrics=spec.metrics,
+                span=ewma_span,
+                entity_col=spec.entity_col,
+                order_cols=spec.order_cols,
+                presorted=True,
+            )
     if rank_metric:
         # league-style per-period rank across entities active in the bucket
         df = df.withColumn("__bucket", F.date_trunc(rank_bucket, F.col("ts")))
