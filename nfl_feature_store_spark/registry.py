@@ -1008,8 +1008,9 @@ def q35_elo_pairwise(spark: SparkSession, sf: str) -> DataFrame:
     """W9 two-sided variant: globally-sequential Elo via the driver-
     coordinated time-bucket loop (operators/elo.py elo_pairwise). Matches
     are synthesized so each entity appears at most once per daily bucket
-    (home = user < 75, away = home + 75, first event of the day). Rows-only:
-    the cross-bucket recursion isn't ANSI-SQL-expressible."""
+    (home = user < 75, away = home + 75, first event of the day). Oracled:
+    this instance's interaction graph decomposes per pair, so a recursive
+    CTE replays the bucket loop exactly (see Q35_SQL note)."""
     from nfl_feature_store_spark.operators.elo import elo_pairwise
 
     ev = load_table(spark, sf, "events").filter(F.col("user_id") < 75)
@@ -1032,6 +1033,48 @@ def q35_elo_pairwise(spark: SparkSession, sf: str) -> DataFrame:
         _r(F.col("elo_pre_home"), 6).alias("elo_pre_home"),
         _r(F.col("elo_prob_home"), 6).alias("elo_prob_home"),
     )
+
+
+# q35's match synthesis pairs home u with away u+75 exclusively, so every
+# (u, u+75) pair is an isolated 2-entity league and the globally-sequential
+# bucket loop decomposes into independent per-pair recursions — which a
+# recursive CTE replays exactly (both ratings tracked separately to mirror
+# the engine's fp: pre_h + delta and pre_a - delta round independently).
+# The GENERAL pairwise case (arbitrary interaction graph) remains
+# non-ANSI-expressible; this oracle checks the engine on a decomposable
+# instance of it.
+Q35_SQL = """
+WITH RECURSIVE firsts AS (
+  SELECT user_id AS home, event_id,
+         CASE WHEN value > 50 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS outcome,
+         CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS bucket,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts) ORDER BY ts, event_id) AS rn_day
+  FROM events WHERE user_id < 75
+),
+base AS (
+  SELECT home, event_id, outcome, bucket,
+         row_number() OVER (PARTITION BY home ORDER BY bucket) AS rn
+  FROM firsts WHERE rn_day = 1
+),
+rec AS (
+  SELECT home, rn, CAST(1500.0 AS DOUBLE) AS pre_h, CAST(1500.0 AS DOUBLE) AS pre_a
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.home, b.rn,
+         r.pre_h + CAST(20.0 AS DOUBLE) * (b2.outcome - CAST(1.0 AS DOUBLE)
+           / (CAST(1.0 AS DOUBLE) + pow(CAST(10.0 AS DOUBLE), -(r.pre_h - r.pre_a) / CAST(400.0 AS DOUBLE)))) AS pre_h,
+         r.pre_a - CAST(20.0 AS DOUBLE) * (b2.outcome - CAST(1.0 AS DOUBLE)
+           / (CAST(1.0 AS DOUBLE) + pow(CAST(10.0 AS DOUBLE), -(r.pre_h - r.pre_a) / CAST(400.0 AS DOUBLE)))) AS pre_a
+  FROM rec r
+  JOIN base b2 ON b2.home = r.home AND b2.rn = r.rn
+  JOIN base b ON b.home = r.home AND b.rn = r.rn + 1
+)
+SELECT b.event_id,
+       floor(r.pre_h * 1000000 + 0.5) / 1000000 AS elo_pre_home,
+       floor((CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+         + pow(CAST(10.0 AS DOUBLE), -(r.pre_h - r.pre_a) / CAST(400.0 AS DOUBLE)))) * 1000000 + 0.5) / 1000000 AS elo_prob_home
+FROM base b JOIN rec r ON b.home = r.home AND b.rn = r.rn
+"""
 
 
 def q36_salted_expanding(spark: SparkSession, sf: str) -> DataFrame:
@@ -1425,6 +1468,7 @@ ORACLES: dict[str, str] = {
     "q37_salted_rolling": Q37_SQL,
     "q28_ewma": Q28_SQL,
     "q29_elo": Q29_SQL,
+    "q35_elo_pairwise": Q35_SQL,
     "q38_salted_ewm": Q38_SQL,
     "q41_composite_rank": Q41_SQL,
     "q42_multiway_outer": Q42_SQL,
@@ -1432,6 +1476,6 @@ ORACLES: dict[str, str] = {
     "q45_cosine_near_dup": Q45_SQL,
     "q46_salted_asof": Q16_SQL,  # identical scenario+oracle; salted execution
     "q48_time_rollup": Q48_SQL,
-    # q30/q31/q35/q39/q40/q44/q47: rows-only (engine-specific hash families
-    # / KMeans init / globally-sequential pairwise Elo), pytest-refereed
+    # q30/q31/q39/q40/q44/q47: rows-only (engine-specific hash families /
+    # KMeans init), pytest-refereed
 }
