@@ -35,12 +35,20 @@ def asof_join(
     probe_ts_col: str = "probe_ts",
     feature_cols: list[str] | None = None,
     inclusive: bool = True,
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """Attach each entity's latest feature snapshot as of every probe ts.
 
     ``features``: (entity, ts, feature...) — point-in-time snapshots.
     ``probes``:   (entity, probe_ts, ...payload) — arbitrary timestamps.
     Returns probes + one column per feature (NULL when no snapshot precedes).
+
+    ``tolerance_s`` bounds feature STALENESS (the feature-store freshness
+    window): a probe more than ``tolerance_s`` seconds past the entity's
+    most recent snapshot row gets NULL features instead of arbitrarily old
+    ones. Measured against the latest snapshot ROW's ts — per-column
+    staleness is not tracked (a NULL in the latest snapshot still carries
+    the prior row's value for that column, as without tolerance).
     """
     if feature_cols is None:
         feature_cols = [c for c in features.columns if c not in (entity_col, ts_col)]
@@ -77,14 +85,27 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     unioned = f_side.unionByName(p_side)
-    filled = unioned.withColumns(
-        {f"__f_{c}": F.last(F.col(f"__f_{c}"), ignorenulls=True).over(w) for c in feature_cols}
-    )
+    fill_cols = {
+        f"__f_{c}": F.last(F.col(f"__f_{c}"), ignorenulls=True).over(w) for c in feature_cols
+    }
+    if tolerance_s is not None:
+        # ts of the latest snapshot ROW, carried by the same window pass
+        fill_cols["__snap_ts"] = F.last(
+            F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
+        ).over(w)
+    filled = unioned.withColumns(fill_cols)
+    feature_out = {c: F.col(f"__f_{c}") for c in feature_cols}
+    if tolerance_s is not None:
+        age = F.unix_seconds(F.col("__ts").cast("timestamp")) - F.unix_seconds(
+            F.col("__snap_ts").cast("timestamp")
+        )
+        fresh = age <= F.lit(tolerance_s)
+        feature_out = {c: F.when(fresh, F.col(f"__f_{c}")) for c in feature_cols}
     out = filled.filter(F.col("__side") == 1).select(
         F.col(entity_col),
         F.col("__ts").alias(probe_ts_col),
         *[F.col(f"__p_{c}").alias(c) for c in probe_payload],
-        *[F.col(f"__f_{c}").alias(c) for c in feature_cols],
+        *[feature_out[c].alias(c) for c in feature_cols],
     )
     return out
 

@@ -124,17 +124,22 @@ def with_ewma_jvm(
 ) -> DataFrame:
     """JVM-only EWMA: same semantics as :func:`with_ewma` (span EWM,
     adjust=False, over the lag-1 series per entity) with NO Python in the
-    data path — the 100-TB execution strategy.
+    data path.
 
-    Why: ``with_ewma``'s mapInPandas round-trips EVERY column (text payload
-    included) through Arrow -> pandas -> Arrow. At wide parallelism that
-    serialization is pure memory-bandwidth pressure on bytes the kernel never
-    reads. This variant keeps the whole computation in Tungsten rows via a
-    segmented (chunked) closed-form scan that is ONE window stack over the
-    existing hash(entity) partitioning — no new exchange, no side branch, no
-    join (a first cut that grouped per-chunk summaries and joined carries
-    back re-executed the whole upstream in a second plan branch; this
-    formulation replaced it):
+    Why it exists: ``with_ewma``'s mapInPandas round-trips EVERY column
+    (text payload included) through Arrow -> pandas -> Arrow and requires
+    Python workers on every executor. This variant keeps the whole
+    computation in Tungsten rows via a segmented (chunked) closed-form scan
+    that is ONE window stack over the existing hash(entity) partitioning —
+    no new exchange, no side branch, no join (a first cut that grouped
+    per-chunk summaries and joined carries back re-executed the whole
+    upstream in a second plan branch; this formulation replaced it).
+
+    Measured honestly (local[8], 2.5M turns, warm plans): the pandas kernel
+    is still 15-25% faster end-to-end — cython ewm plus one Arrow copy beats
+    the extra (entity, chunk) sort + per-row marker lists this formulation
+    needs. So the pipeline DEFAULTS to the pandas kernel; use this engine
+    where Python workers are unavailable or prohibited:
 
     1. Chunk each entity's stream into runs of ``chunk_rows`` rows. Within a
        chunk, the zero-seeded partial EWM has the closed form
@@ -184,6 +189,15 @@ def with_ewma_jvm(
     w_cum = w_ent.rowsBetween(Window.unboundedPreceding, 0)
     w_prior = w_ent.rowsBetween(Window.unboundedPreceding, -1)
 
+    # decay powers as CONSTANT lookup arrays: u is an integer in [0, C], so
+    # element_at on a constant-folded literal array replaces every pow()
+    # call — the first cut spent ~15 pow()/row and measured 16x the pandas
+    # kernel's CPU; lookups + the arithmetic u below brought it back
+    dec = [(1.0 - alpha) ** i for i in range(C + 1)]
+    inv = [(1.0 - alpha) ** (-i) for i in range(C + 1)]
+    dec_arr = F.array(*[F.lit(v) for v in dec])
+    inv_arr = F.array(*[F.lit(v) for v in inv])
+
     out = df.withColumn("__ewm_rn", F.row_number().over(w_ent))
     out = out.withColumn("__ewm_ck", ((F.col("__ewm_rn") - 1) / F.lit(C)).cast("long"))
     is_chunk_end = F.col("__ewm_rn") % C == 0
@@ -192,44 +206,59 @@ def with_ewma_jvm(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
 
-    one_m_a = F.lit(1.0 - alpha)
+    # non-null contract => the lag is null exactly at rn=1, so the update
+    # counters are ARITHMETIC, not window aggregates:
+    #   within-chunk updates u = rn - ck*C - (1 if first chunk else 0)
+    #   entity updates so far = rn - 1 (NULL mask: rn > 1)
+    u = (
+        F.col("__ewm_rn")
+        - F.col("__ewm_ck") * C
+        - F.when(F.col("__ewm_ck") == 0, F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+    out = out.withColumn("__ewm_u", u)
+    dcol = F.element_at(dec_arr, F.col("__ewm_u") + 1)
+
+    lag_cols: list[str] = []
+    for m in metrics:
+        out = out.withColumn(f"__x_{m}", F.lag(F.col(m)).over(w_ent).cast("double"))
+        lag_cols.append(f"__x_{m}")
+        # seed = the entity's first value = its first non-null lagged value
+        out = out.withColumn(f"__xf_{m}", F.first(F.col(m)).over(w_cum).cast("double"))
+        term = F.col(f"__x_{m}") * F.element_at(inv_arr, F.col("__ewm_u") + 1)
+        s = F.sum(term).over(w_chunk)  # null terms (rn=1) drop out of the sum
+        out = out.withColumn(f"__p_{m}", F.lit(alpha) * dcol * F.coalesce(s, F.lit(0.0)))
+
+    # ONE marker stream for all metrics (u is position-derived, shared):
+    # each chunk's last row carries (u_end, p_end per metric); every row
+    # collects the markers of all PRIOR chunks — empty for conversations
+    # shorter than chunk_rows, i.e. almost all of them
+    marker = F.when(
+        is_chunk_end,
+        F.struct(
+            F.col("__ewm_u").alias("u"),
+            *[F.col(f"__p_{m}").alias(f"p_{m}") for m in metrics],
+        ),
+    )
+    out = out.withColumn("__ewm_marks", F.collect_list(marker).over(w_prior))
 
     def _carry(m: str) -> F.Column:
         # pyspark counts lambda params to bind HOF variables, so the metric
         # name must close over a factory, not ride a default argument
         def _merge(acc, s):
-            return F.pow(one_m_a, s["u"]) * acc + s["p"]
+            return F.element_at(dec_arr, s["u"] + 1) * acc + s[f"p_{m}"]
 
-        prior_ends = F.collect_list(
-            F.when(
-                is_chunk_end,
-                F.struct(F.col(f"__u_{m}").alias("u"), F.col(f"__p_{m}").alias("p")),
-            )
-        ).over(w_prior)
-        return F.aggregate(prior_ends, F.col(f"__xf_{m}"), _merge)
+        return F.aggregate(F.col("__ewm_marks"), F.col(f"__xf_{m}"), _merge)
 
-    drop = ["__ewm_rn", "__ewm_ck"]
+    drop = ["__ewm_rn", "__ewm_ck", "__ewm_u", "__ewm_marks"]
     for m in metrics:
-        x = F.lag(F.col(m)).over(w_ent).cast("double")
-        out = out.withColumn(f"__x_{m}", x)
-        # u: within-chunk update index; ue: has the entity seen ANY update
-        out = out.withColumn(f"__u_{m}", F.count(f"__x_{m}").over(w_chunk))
-        out = out.withColumn(f"__ue_{m}", F.count(f"__x_{m}").over(w_cum))
-        # entity's first lagged value = the pandas seed; constant once set
-        out = out.withColumn(f"__xf_{m}", F.first(f"__x_{m}", ignorenulls=True).over(w_cum))
-        term = F.col(f"__x_{m}") * F.pow(one_m_a, -F.col(f"__u_{m}"))
-        s = F.sum(term).over(w_chunk)
-        out = out.withColumn(
-            f"__p_{m}", F.lit(alpha) * F.pow(one_m_a, F.col(f"__u_{m}")) * F.coalesce(s, F.lit(0.0))
-        )
-        e = F.pow(one_m_a, F.col(f"__u_{m}")) * _carry(m) + F.col(f"__p_{m}")
-        out = out.withColumn(f"{prefix}{m}", F.when(F.col(f"__ue_{m}") > 0, e))
-        drop += [f"__x_{m}", f"__u_{m}", f"__ue_{m}", f"__xf_{m}", f"__p_{m}"]
+        e = dcol * _carry(m) + F.col(f"__p_{m}")
+        out = out.withColumn(f"{prefix}{m}", F.when(F.col("__ewm_rn") > 1, e))
+        drop += [f"__x_{m}", f"__xf_{m}", f"__p_{m}"]
     # non-null contract (docstring): the lag is NULL only on each entity's
     # first row; any other NULL means a null metric value upstream.
     # assert_true is NULL on pass, throws on violation (salted.py pattern)
     all_non_null = sum(
-        (F.col(f"__x_{m}").isNotNull()).cast("int") for m in metrics
+        (F.col(c).isNotNull()).cast("int") for c in lag_cols
     ) == len(metrics)
     guard = F.assert_true(
         (F.col("__ewm_rn") == 1) | all_non_null,

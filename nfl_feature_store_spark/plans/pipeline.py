@@ -32,7 +32,7 @@ def backfill_features(
     rank_metric: str | None = "roll10_chars",
     rank_bucket: str = "day",
     dedup: bool = True,
-    ewma_engine: str = "jvm",
+    ewma_engine: str = "pandas",
 ) -> DataFrame:
     """transcripts (conv_id, turn_idx, role, text, tool, ts) → feature table.
 
@@ -48,10 +48,12 @@ def backfill_features(
     df = compile_window_features(df, spec)
     if ewma_span:
         if ewma_engine == "jvm":
-            # default: segmented closed-form scan entirely in Tungsten rows —
-            # no Arrow round-trip of the text payload through Python, and the
-            # window/groupBy/join stack rides the existing hash(entity)
-            # partitioning with zero new exchanges (pytest-asserted)
+            # segmented closed-form scan entirely in Tungsten rows — no
+            # Python workers, no Arrow round-trip, zero new exchanges
+            # (pytest-asserted). Measured +15-25% wall vs the pandas kernel
+            # at local[8]/2.5M (extra chunk-window sort + per-row marker
+            # lists vs pandas' cython ewm), so it is the OPTION for
+            # Python-less deployments, not the default
             df = with_ewma_jvm(
                 df,
                 metrics=spec.metrics,
@@ -60,6 +62,7 @@ def backfill_features(
                 order_cols=spec.order_cols,
             )
         else:
+            # default: pandas grouped-cython kernel, measured fastest.
             # presorted: the window stage upstream already hash-partitioned by
             # entity and sorted within partitions by (entity, anchor, ts, turn)
             # — anchor is monotone along ts within an entity, so per-entity

@@ -1382,6 +1382,104 @@ FROM t GROUP BY GROUPING SETS ((user_id, gh), (user_id, gd), (user_id, gw))
 """
 
 
+def q49_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """J6 + freshness window: the q16 as-of backfill with a 3-day staleness
+    bound — probes whose latest purchase snapshot is older than the
+    tolerance get NULL instead of arbitrarily stale features
+    (operators/asof.py ``tolerance_s``; same union + last(ignorenulls) pass
+    carries the snapshot-row ts)."""
+    from nfl_feature_store_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf, "events")
+    feats = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    probes = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("probe_ts"), "event_id"
+    )
+    out = asof_join(
+        feats, probes, entity_col="user_id", ts_col="ts", probe_ts_col="probe_ts",
+        feature_cols=["purchase_value"], inclusive=True, tolerance_s=259_200,
+    )
+    return out.select(
+        "event_id", "user_id", _r("purchase_value", 6).alias("asof_purchase_value")
+    )
+
+
+Q49_SQL = """
+WITH feats AS (
+  SELECT user_id, ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), probes AS (
+  SELECT user_id, ts AS probe_ts, event_id FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id,
+       CASE WHEN date_diff('second', f.ts, p.probe_ts) <= 259200
+            THEN floor((f.purchase_value) * 1000000 + 0.5) / 1000000 END AS asof_purchase_value
+FROM probes p ASOF LEFT JOIN feats f
+  ON p.user_id = f.user_id AND p.probe_ts >= f.ts
+"""
+
+
+def q50_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed interval-overlap (range) join via the binned equi-join
+    pattern (operators/rangejoin.py): fine-grained sessions (1h gap) matched
+    to coarse sessions (1d gap) of the same user wherever they overlap.
+    Spark has no native range join — the naive formulation is a nested-loop
+    product; binning shuffles like an ordinary equi-join."""
+    from nfl_feature_store_spark.operators.rangejoin import interval_overlap_join
+    from nfl_feature_store_spark.operators.sessionize import sessionize
+
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "event_id")
+
+    def intervals(gap_s: int) -> DataFrame:
+        s = sessionize(ev, entity_col="user_id", ts_col="ts", order_cols=("ts", "event_id"), gap_s=gap_s)
+        return s.groupBy("user_id", "session_id").agg(
+            F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+        )
+
+    out = interval_overlap_join(
+        intervals(3600), intervals(86400), entity_col="user_id",
+        left_keys=["session_id"], right_keys=["session_id"], bin_width_s=86400,
+    )
+    return out.select(
+        "user_id",
+        F.col("l_session_id").cast("long").alias("fine_session"),
+        F.col("r_session_id").cast("long").alias("coarse_session"),
+        F.col("overlap_secs").cast("long").alias("overlap_secs"),
+    )
+
+
+Q50_SQL = """
+WITH g1 AS (
+  SELECT user_id, ts, event_id,
+         coalesce(date_diff('second', lag(ts,1) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts), 0) AS gap_s
+  FROM events
+), s1 AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g1
+), fine AS (
+  SELECT user_id, session_id::BIGINT AS fine_session, min(ts) AS fs, max(ts) AS fe
+  FROM s1 GROUP BY 1, 2
+), s2 AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN gap_s > 86400 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g1
+), coarse AS (
+  SELECT user_id, session_id::BIGINT AS coarse_session, min(ts) AS cs, max(ts) AS ce
+  FROM s2 GROUP BY 1, 2
+)
+SELECT f.user_id, f.fine_session, c.coarse_session,
+       (floor(epoch(least(f.fe, c.ce)))::BIGINT - floor(epoch(greatest(f.fs, c.cs)))::BIGINT) AS overlap_secs
+FROM fine f JOIN coarse c ON f.user_id = c.user_id AND f.fs <= c.ce AND c.cs <= f.fe
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1431,6 +1529,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_salted_asof": q46_salted_asof,
     "q47_ivf_topk": q47_ivf_topk,
     "q48_time_rollup": q48_time_rollup,
+    "q49_asof_tolerance": q49_asof_tolerance,
+    "q50_interval_overlap": q50_interval_overlap,
 }
 
 ORACLES: dict[str, str] = {
@@ -1476,6 +1576,8 @@ ORACLES: dict[str, str] = {
     "q45_cosine_near_dup": Q45_SQL,
     "q46_salted_asof": Q16_SQL,  # identical scenario+oracle; salted execution
     "q48_time_rollup": Q48_SQL,
+    "q49_asof_tolerance": Q49_SQL,
+    "q50_interval_overlap": Q50_SQL,
     # q30/q31/q39/q40/q44/q47: rows-only (engine-specific hash families /
     # KMeans init), pytest-refereed
 }

@@ -64,7 +64,7 @@ def test_pipeline_jvm_ewma_adds_no_exchange(transcripts_sdf):
     """The flagship contract: ONE hash(conv_id) exchange shared by every
     per-entity stage + one hash(__bucket) for the rank — the JVM EWM must
     ride the existing partitioning, not branch or join."""
-    feats = backfill_features(transcripts_sdf)  # default engine: jvm
+    feats = backfill_features(transcripts_sdf, ewma_engine="jvm")
     feats.write.format("noop").mode("overwrite").save()
     plan = feats._jdf.queryExecution().executedPlan().toString()
     exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
