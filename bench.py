@@ -139,6 +139,25 @@ def run_headline(cores: int) -> dict:
 
     # best-of-2: the sandbox host is noisy; min-of-n is the steady-state figure
     timings["flagship_backfill"] = best_of(2, lambda: backfill_features(transcripts))
+
+    # wide flagship: 59 metrics x all window families + EWMA — the
+    # reference's player-stat width (SURVEY §2.5), round-4 verdict item 2.
+    # Same one-exchange plan as the 3-metric flagship (pytest-asserted in
+    # tests/test_wide_spec.py); this line measures the codegen/width cost.
+    from nfl_feature_store_spark.operators.windows import FeatureSpec
+
+    extra = {
+        f"m{i:02d}": (F.xxhash64("conv_id", "turn_idx", F.lit(i)) % 1000).cast("double")
+        for i in range(56)
+    }
+    wide_spec = FeatureSpec(
+        metrics=("chars", "words", "is_tool") + tuple(f"m{i:02d}" for i in range(56))
+    )
+    wide_in = transcripts.withColumns(extra)
+    timings["flagship_wide59"] = best_of(
+        2, lambda: backfill_features(wide_in, spec=wide_spec, rank_metric=None)
+    )
+
     for name in HEADLINE:
         timings[name] = best_of(2, lambda q=QUERIES[name]: q(spark, SF_DIR))
 

@@ -110,7 +110,9 @@ def bpe_token_count_expr(col: Column | str) -> Column:
     return F.regexp_count(c, F.lit(BPE_ISH_PATTERN)).cast("int")
 
 
-def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
+def winnow_fingerprints(
+    col: Column | str, k: int = 8, w: int = 4, hash_fn: str = "xxhash64"
+) -> Column:
     """Winnowing document fingerprints (Schleimer et al.'s rolling-hash
     selection): hash every k-gram, take the min hash of each window of ``w``
     consecutive k-gram hashes, dedupe. Two documents sharing a substring of
@@ -118,12 +120,18 @@ def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
     local-similarity sketch for plagiarism/near-dup detection.
 
     Pure higher-order column algebra (transform + slice + array_min), no
-    explode, no UDF; xxhash64 family => rows-only in the driver contract,
-    guarantee pinned by pytest."""
+    explode, no UDF. ``hash_fn="xxhash64"`` (production default) yields
+    array<bigint> and a rows-only driver check; ``hash_fn="md5"`` yields
+    array<string> of hex digests — lexicographic min == unsigned numeric
+    min, identical in DuckDB, so the pipeline gains a full value-hash
+    oracle (operators/dedup.py module docstring)."""
     c = F.lower(F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit("")))
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    gram_hash = F.xxhash64 if hash_fn == "xxhash64" else F.md5
     n_grams = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
     hashes = F.transform(
-        F.sequence(F.lit(1), n_grams), lambda i: F.xxhash64(c.substr(i, F.lit(k)))
+        F.sequence(F.lit(1), n_grams), lambda i: gram_hash(c.substr(i, F.lit(k)))
     )
     n_windows = F.greatest(F.size(hashes) - F.lit(w - 1), F.lit(1))
     mins = F.transform(

@@ -11,15 +11,49 @@ Four tiers, all shuffle-conscious:
   distance; bucketable by fingerprint prefix.
 * embedding cosine near-dup: see operators/similarity.py.
 
-All hashes are xxhash64 (JVM built-in, whole-stage codegen) — deterministic
-across runs/partitionings but engine-specific, so these are rows-only checks
-in the driver contract (no ANSI oracle).
+Hash families (``hash_fn``): the production default is xxhash64 (JVM
+built-in, whole-stage codegen, fastest) — deterministic across runs and
+partitionings but engine-specific. Every hashed operator also offers
+``hash_fn="md5"``, a PORTABLE family computable bit-identically in other
+engines (DuckDB, Trino, ...), which upgrades the driver's correctness check
+from rows-only to full value-hash oracles:
+
+* string tier: md5 hex digests compare lexicographically in unsigned
+  numeric order (fixed-width lowercase hex), so MinHash minima and LSH
+  band buckets need no integer conversion at all.
+* int64 tier (SimHash bit votes): the low 8 digest bytes little-endian —
+  exactly DuckDB's ``md5_number_lower`` — reproduced JVM-side as
+  ``conv(reversed-hex-pairs, 16, 10)`` with a two's-complement fold to
+  signed bigint. Bits 0..63 of the signed value equal the unsigned bits,
+  so vote extraction ``(h >> i) & 1`` agrees across engines.
+
+md5 costs ~3-4x xxhash64 per call; use it for cross-engine verification
+runs, not the 10^12-row production path.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: SQL fragment: unsigned decimal(20,0) value of md5(t)'s low 8 bytes
+#: little-endian (== DuckDB md5_number_lower(t)); `t` is the lambda var
+_MD5_LOWER64_U = (
+    "cast(conv(concat(substring(md5(t),31,2),substring(md5(t),29,2),"
+    "substring(md5(t),27,2),substring(md5(t),25,2),substring(md5(t),23,2),"
+    "substring(md5(t),21,2),substring(md5(t),19,2),substring(md5(t),17,2)),"
+    "16,10) as decimal(20,0))"
+)
+#: same value folded to signed bigint (two's complement)
+MD5_LOWER64_SQL = (
+    f"cast({_MD5_LOWER64_U} - (case when {_MD5_LOWER64_U} >= 9223372036854775808 "
+    f"then cast(18446744073709551616 as decimal(21,0)) else cast(0 as decimal(21,0)) end) as bigint)"
+)
+
+
+def _check_hash_fn(hash_fn: str) -> None:
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -42,19 +76,32 @@ def _shingles(text_col: str, k: int = 5):
     )
 
 
-def minhash_signature(df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_k: int = 5) -> DataFrame:
-    """(id, sig: array<bigint>) — per-document MinHash signature.
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, sig) — per-document MinHash signature: array<bigint> under the
+    default xxhash64 family, array<string> (md5 hex; lexicographic order ==
+    unsigned numeric order) under the portable family.
 
-    minhash_j(doc) = min over shingles s of xxhash64(s, j): computed entirely
-    with built-in higher-order array functions (transform + array_min), no
-    explode, no UDF — one narrow projection per document.
+    minhash_j(doc) = min over shingles s of hash(s, seed=j): computed
+    entirely with built-in higher-order array functions (transform +
+    array_min), no explode, no UDF — one narrow projection per document.
     """
-    sig = F.array(
-        *[
-            F.array_min(F.expr(f"transform(__sh, s -> xxhash64(s, {j}))"))
-            for j in range(num_hashes)
+    _check_hash_fn(hash_fn)
+    if hash_fn == "xxhash64":
+        per_seed = [f"transform(__sh, s -> xxhash64(s, {j}))" for j in range(num_hashes)]
+    else:
+        # '#'-seeded md5: seed recoverable as the suffix after the LAST '#',
+        # so distinct (shingle, seed) pairs never collide as inputs
+        per_seed = [
+            f"transform(__sh, s -> md5(concat(s, '#', '{j}')))" for j in range(num_hashes)
         ]
-    )
+    sig = F.array(*[F.array_min(F.expr(e)) for e in per_seed])
     return (
         df.select(F.col(id_col).alias("id"), _shingles(text_col, shingle_k).alias("__sh"))
         .select("id", sig.alias("sig"))
@@ -68,6 +115,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup candidate pairs via banded LSH over MinHash signatures.
 
@@ -77,14 +125,19 @@ def minhash_lsh_candidates(
     salted AQE handles stragglers. Returns distinct (id_a < id_b) pairs with
     the fraction of matching minhashes as an estimated Jaccard.
     """
+    _check_hash_fn(hash_fn)
     rows = num_hashes // bands
-    sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_k)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(F.slice("sig", b * rows + 1, rows).cast("array<string>").cast("string")).alias("bucket"),
+    sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_k, hash_fn=hash_fn)
+    if hash_fn == "xxhash64":
+        bucket_of = lambda b: F.xxhash64(  # noqa: E731
+            F.slice("sig", b * rows + 1, rows).cast("array<string>").cast("string")
         )
-        for b in range(bands)
+    else:
+        # md5 sig elements are fixed-width hex (no '|'), so the join is
+        # unambiguous and portable: md5(e1|e2|...|ek)
+        bucket_of = lambda b: F.md5(F.array_join(F.slice("sig", b * rows + 1, rows), "|"))  # noqa: E731
+    band_cols = [
+        F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket")) for b in range(bands)
     ]
     exploded = sigs.select("id", "sig", F.explode(F.array(*band_cols)).alias("bb")).select(
         "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
@@ -118,23 +171,28 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash(df: DataFrame, id_col: str, text_col: str, hash_fn: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per document: whitespace tokens vote per bit position
-    of their xxhash64; fingerprint bit = sign of the vote sum.
+    of their 64-bit hash; fingerprint bit = sign of the vote sum.
 
     Pure column algebra (aggregate over the token array with a 64-element
-    vote vector) — no explode, no shuffle, no UDF.
+    vote vector) — no explode, no shuffle, no UDF. ``hash_fn="md5"`` swaps
+    the token hash for the portable md5-low-64 family (module docstring):
+    bit extraction ``(h >> i) & 1`` is unaffected by the signed fold because
+    arithmetic vs logical shift only differ in the discarded high bits.
     """
+    _check_hash_fn(hash_fn)
+    tok_hash = "xxhash64(t)" if hash_fn == "xxhash64" else MD5_LOWER64_SQL
     tokens = F.expr(f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')")
     votes = F.expr(
         """
         aggregate(
-          transform(filter(split(lower(text), '\\\\s+'), t -> t != ''), t -> xxhash64(t)),
+          transform(filter(split(lower(text), '\\\\s+'), t -> t != ''), t -> TOKHASH),
           array_repeat(0L, 64),
           (acc, h) -> zip_with(acc, sequence(0, 63),
                                (a, i) -> a + CASE WHEN ((h >> i) & 1L) = 1L THEN 1L ELSE -1L END)
         )
-        """.replace("text", text_col)
+        """.replace("text", text_col).replace("TOKHASH", tok_hash)
     )
     bits = F.expr(
         "aggregate(zip_with(__votes, sequence(0, 63), (v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, cast(i AS int)) ELSE 0L END),"

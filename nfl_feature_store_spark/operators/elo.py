@@ -149,11 +149,16 @@ def elo_pairwise(
     driver memory by total history, not bucket size). Two phases:
 
     1. **Sequential rating scan, bucket-bounded**: a minimal projection
-       (home, away, outcome, bucket) is range-partitioned and sorted by
-       bucket, then streamed through ``toLocalIterator`` — the driver holds
-       one shuffle partition of 4 narrow columns at a time. Per bucket it
-       records each touched entity's pre-bucket rating (<= |league| rows per
-       bucket) and applies the updates.
+       (home, away, outcome, bucket) is pre-aggregated EXECUTOR-SIDE into
+       one struct-array row per bucket (groupBy bucket → collect_list of
+       3-field structs), range-partitioned and sorted by bucket, then
+       streamed through ``toLocalIterator`` — the driver receives ONE row
+       per bucket and applies that bucket's updates in a single vectorized
+       numpy pass; Python-per-match iteration never happens on the driver
+       (round-3 advice). Driver memory is one bucket's match structs
+       (<= |league|/2) at a time. Match order within the collected array is
+       nondeterministic, which is immaterial: every update in a bucket is a
+       function of PRE-bucket ratings only (enforced below).
     2. **Distributed scoring**: the small (bucket, entity, rating) snapshot
        table joins back onto the untouched distributed match stream — once
        for the home side, once for the away side (AQE broadcasts it under
@@ -168,8 +173,11 @@ def elo_pairwise(
     the time order (e.g. ISO dates) when using resume.
 
     Within a bucket each entity appears at most once (the reference's
-    one-game-per-team-per-week shape); violations would apply that bucket's
-    updates simultaneously rather than sequentially.
+    one-game-per-team-per-week shape); a violation would apply that bucket's
+    updates simultaneously rather than sequentially — and the vectorized
+    bucket update would silently DISCARD all but one of the duplicate
+    entity's deltas — so it fails fast with the offending bucket and entity
+    named (round-3 advice; mirrors the NULL-bucket guard).
     """
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -210,7 +218,14 @@ def elo_pairwise(
                 f"{df.schema[bucket_col].dataType.simpleString()} — cast it (e.g. ISO dates)"
             )
         proj = proj.filter(F.col("__b") > done_buckets[-1])
-    ordered = proj.repartitionByRange(n_parts, "__b").sortWithinPartitions("__b")
+    # executor-side per-bucket batching: the driver pulls ONE struct-array
+    # row per bucket instead of one row per match (round-3 advice item 7)
+    grouped = (
+        proj.groupBy("__b")
+        .agg(F.collect_list(F.struct("__h", "__a", "__o")).alias("__ms"))
+        .repartitionByRange(n_parts, "__b")
+        .sortWithinPartitions("__b")
+    )
 
     def flush(bucket, matches: list[tuple]) -> None:
         touched: dict = {}
@@ -224,6 +239,18 @@ def elo_pairwise(
         # PRE-bucket ratings alone — one vectorized numpy pass per bucket, no
         # per-match Python float math in the driver's sequential phase
         played = [(h, a, o) for h, a, o in matches if o is not None and o == o]
+        seen: set = set()
+        for h, a, _ in played:
+            if h == a or h in seen or a in seen:
+                dup = h if (h == a or h in seen) else a
+                raise ValueError(
+                    f"elo_pairwise: entity {dup!r} appears in more than one played "
+                    f"match of bucket {bucket!r}; the one-match-per-entity-per-bucket "
+                    f"contract is violated (a duplicate's deltas would be silently "
+                    f"dropped) — split the bucket finer or dedupe the match stream"
+                )
+            seen.add(h)
+            seen.add(a)
         if played:
             pre_h = np.fromiter((touched[h] for h, _, _ in played), dtype="float64")
             pre_a = np.fromiter((touched[a] for _, a, _ in played), dtype="float64")
@@ -239,23 +266,15 @@ def elo_pairwise(
                 {"ratings": dict(ratings), "touched": touched, "n_matches": len(matches)},
             )
 
-    cur_bucket: str | None = None
-    cur_matches: list[tuple] = []
-    for row in ordered.toLocalIterator(prefetchPartitions=False):
+    for row in grouped.toLocalIterator(prefetchPartitions=False):
         if row["__b"] is None:
-            # NULL buckets sort first under repartitionByRange and would pool
-            # under the None loop sentinel, never flushed — reject explicitly
+            # groupBy keeps a NULL-bucket group, which sorts first under
+            # repartitionByRange and has no defined time position — reject
             raise ValueError(
                 f"elo_pairwise: NULL value in bucket column {bucket_col!r}; "
                 "filter or fill bucket values before rating"
             )
-        if row["__b"] != cur_bucket:
-            if cur_bucket is not None:
-                flush(cur_bucket, cur_matches)
-            cur_bucket, cur_matches = row["__b"], []
-        cur_matches.append((row["__h"], row["__a"], row["__o"]))
-    if cur_bucket is not None:
-        flush(cur_bucket, cur_matches)
+        flush(row["__b"], [(m["__h"], m["__a"], m["__o"]) for m in row["__ms"]])
 
     snap = spark.createDataFrame(
         pd.DataFrame(snap_rows, columns=["__sb", "__se", "__sr"]),

@@ -177,6 +177,11 @@ def with_ewma_jvm(
     a mid-stream NULL fails the job at execution with guidance to use
     :func:`with_ewma` (enforced via assert_true, zero extra jobs).
     """
+    if span < 2:
+        # span=1 => alpha=1 => log(1-alpha) below is log(0): reject with the
+        # parameter named instead of a bare math-domain error (round-3
+        # advice). A span-1 EWM is the identity on the lagged series anyway.
+        raise ValueError(f"with_ewma_jvm requires span >= 2, got span={span}")
     alpha = 2.0 / (span + 1.0)
     # largest u with (1-alpha)^-u < 1e9: keeps every per-row term finite and
     # the summed magnitudes within ~9 digits of each other

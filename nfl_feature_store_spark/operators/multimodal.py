@@ -2,9 +2,12 @@
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing (schemas, partition sizing, UDF signatures, batch
-shapes) is real and tested; the actual codec work is STUBBED behind
-``decode_stub`` because the sandbox image has no image/audio libraries —
-swap ``_fake_decode`` for PIL/torchaudio/ffmpeg in production. The batch
+shapes) is real and tested. Codecs: AUDIO has a REAL decoder — a
+pure-numpy RIFF/WAVE PCM parser (``_decode_wav``: 8/16/32-bit int and
+float32 PCM, any channel count, -> FEATURE_DIM spectral-band log-energy
+features via rfft) so the path is honest end-to-end on real bytes;
+image/video remain DISCLOSED STUBS (``_fake_decode`` — the sandbox image
+has no image/video libraries; swap in PIL/ffmpeg in production). The batch
 contract is the part that matters at 100 TB: media bytes never pass through
 Python row-at-a-time, only as Arrow buffers, and per-batch bytes are bounded
 at execution time by the session's
@@ -58,6 +61,100 @@ def synthesize_media(spark, n: int = 1000, seed: int = 42) -> DataFrame:
     return df
 
 
+def make_wav_bytes(
+    freq_hz: float = 440.0,
+    duration_s: float = 0.25,
+    rate: int = 8000,
+    amplitude: float = 0.5,
+    channels: int = 1,
+    bits: int = 16,
+) -> bytes:
+    """Synthesize a REAL RIFF/WAVE PCM file (sine tone) — deterministic
+    fixture bytes for the honest end-to-end audio path. Standard WAV layout:
+    RIFF header, 'fmt ' chunk (PCM), 'data' chunk."""
+    import struct
+
+    n = int(rate * duration_s)
+    t = np.arange(n, dtype="float64") / rate
+    mono = amplitude * np.sin(2.0 * np.pi * freq_hz * t)
+    frames = np.repeat(mono[:, None], channels, axis=1)
+    if bits == 16:
+        data = (frames * 32767.0).astype("<i2").tobytes()
+        audio_format, sample_bytes = 1, 2
+    elif bits == 8:
+        data = ((frames * 127.0) + 128.0).astype("u1").tobytes()
+        audio_format, sample_bytes = 1, 1
+    elif bits == 32:
+        data = frames.astype("<f4").tobytes()
+        audio_format, sample_bytes = 3, 4  # IEEE float
+    else:
+        raise ValueError(f"bits must be 8, 16 or 32, got {bits}")
+    byte_rate = rate * channels * sample_bytes
+    block_align = channels * sample_bytes
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, audio_format, channels, rate, byte_rate, block_align, bits
+    )
+    data_hdr = struct.pack("<4sI", b"data", len(data))
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data_hdr) + len(data), b"WAVE")
+    return riff + fmt + data_hdr + data
+
+
+def _decode_wav(payload: bytes) -> np.ndarray | None:
+    """Pure-numpy RIFF/WAVE PCM parser -> FEATURE_DIM features, or None when
+    the payload is not parseable WAV (caller falls back to the stub).
+
+    Supports the standard public format (8-bit unsigned / 16- and 32-bit
+    signed integer PCM, 32-bit IEEE float; any channel count — downmixed to
+    mono). Features: [duration_s, rms, zero-crossing rate, peak] +
+    (FEATURE_DIM - 4) log-energy bands of the rfft magnitude spectrum —
+    real, deterministic signal features from real bytes.
+    """
+    import struct
+
+    try:
+        if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid, csize = struct.unpack_from("<4sI", payload, pos)
+            body = payload[pos + 8 : pos + 8 + csize]
+            if cid == b"fmt " and csize >= 16:
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            elif cid == b"data":
+                data = body
+            pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            return None
+        audio_format, channels, rate, _, _, bits = fmt
+        if channels < 1 or rate <= 0:
+            return None
+        if audio_format == 1 and bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype("float64") / 32768.0
+        elif audio_format == 1 and bits == 8:
+            x = (np.frombuffer(data, dtype="u1").astype("float64") - 128.0) / 128.0
+        elif audio_format == 1 and bits == 32:
+            x = np.frombuffer(data, dtype="<i4").astype("float64") / 2147483648.0
+        elif audio_format == 3 and bits == 32:
+            x = np.frombuffer(data, dtype="<f4").astype("float64")
+        else:
+            return None
+        if channels > 1:
+            x = x[: len(x) - (len(x) % channels)].reshape(-1, channels).mean(axis=1)
+        if len(x) == 0:
+            return np.zeros(FEATURE_DIM, dtype="float32")
+        duration = len(x) / rate
+        rms = float(np.sqrt(np.mean(x * x)))
+        zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype("int8"))))) if len(x) > 1 else 0.0
+        peak = float(np.max(np.abs(x)))
+        spec = np.abs(np.fft.rfft(x))
+        n_bands = FEATURE_DIM - 4
+        bands = np.array_split(spec, n_bands)
+        band_e = np.array([np.log1p(float(np.sum(b * b))) for b in bands], dtype="float64")
+        return np.concatenate([[duration, rms, zcr, peak], band_e]).astype("float32")
+    except (struct.error, ValueError):
+        return None
+
+
 def _fake_decode(payload: bytes) -> np.ndarray:
     """Deterministic stand-in for a real decoder: derives a FEATURE_DIM
     float vector from the payload bytes. Replace with a real codec call
@@ -71,8 +168,14 @@ def _fake_decode(payload: bytes) -> np.ndarray:
 
 
 def decode_stub(payload: bytes, kind: str) -> np.ndarray:
+    """Dispatch: audio WAV payloads get the REAL decoder; anything else
+    falls through to the disclosed deterministic stand-in."""
     if kind not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for media kind {kind!r}")
+    if kind == "audio":
+        real = _decode_wav(payload)
+        if real is not None:
+            return real
     return _fake_decode(payload)
 
 

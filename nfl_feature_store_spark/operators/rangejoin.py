@@ -19,6 +19,18 @@ the explode factor; bins far larger multiply false candidate pairs. Set it
 near the median interval length. A degenerate interval spanning the whole
 corpus explodes into corpus_span/bin_width rows — ``max_bins_per_row``
 fails fast with guidance rather than silently producing a hot key.
+
+Skew: a popular bin (a deploy window overlapped by 10^6 sessions of one
+entity) is a classic hot join key — every candidate for that (entity, bin)
+lands in one shuffle partition. ``salt_buckets`` splits it: the LEFT
+(high-cardinality) side salts on a hash of its interval identity, the RIGHT
+side replicates each binned row across all salt values, and the equi-join
+adds the salt to its keys — the hot bucket's rows spread over
+``salt_buckets`` tasks at the cost of replicating the (small) right side.
+Deterministic (key-hash salt, not rand()), so results are partitioning-
+invariant. On AQE clusters the unsalted path also self-heals post-shuffle
+(skew-join splitting applies to the sort-merge join this compiles to), but
+salting works on any runtime and at any threshold.
 """
 
 from __future__ import annotations
@@ -39,6 +51,7 @@ def interval_overlap_join(
     left_prefix: str = "l_",
     right_prefix: str = "r_",
     max_bins_per_row: int | None = 10_000,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """All (left, right) interval pairs of the same entity that overlap
     (closed intervals: ``l.start <= r.end AND r.start <= l.end``), plus
@@ -47,6 +60,17 @@ def interval_overlap_join(
     ``left_keys``/``right_keys``: columns that uniquely identify an interval
     within its side (used to de-duplicate pairs that share several bins).
     All non-entity columns come back prefixed ``l_``/``r_``.
+
+    Interval validation (execution-time, zero extra jobs): a NULL start/end
+    or an inverted interval (end < start) raises a dedicated error naming
+    the offending side — NULLs would otherwise be silently dropped by
+    ``explode(sequence(NULL, ...))`` and inverted intervals would generate a
+    descending (empty-overlap) bin sequence; both are almost always data
+    bugs upstream. Filter them out explicitly before joining if they are
+    expected.
+
+    ``salt_buckets``: split hot (entity, bin) join keys — see module
+    docstring. Output is identical with or without salting (pytest-pinned).
     """
 
     def _binned(df: DataFrame, prefix: str) -> DataFrame:
@@ -54,6 +78,24 @@ def interval_overlap_join(
             F.col(entity_col),
             *[F.col(c).alias(f"{prefix}{c}") for c in df.columns if c != entity_col],
         )
+        side = "left" if prefix == left_prefix else "right"
+        s_raw = F.col(f"{prefix}{start_col}")
+        e_raw = F.col(f"{prefix}{end_col}")
+        null_guard = F.assert_true(
+            s_raw.isNotNull() & e_raw.isNotNull(),
+            F.lit(
+                f"interval_overlap_join: NULL {start_col}/{end_col} on the {side} "
+                f"side; filter or fill NULL intervals before joining"
+            ),
+        )
+        order_guard = F.assert_true(
+            e_raw.cast("timestamp") >= s_raw.cast("timestamp"),
+            F.lit(
+                f"interval_overlap_join: inverted interval ({end_col} < {start_col}) "
+                f"on the {side} side; fix or filter before joining"
+            ),
+        )
+        renamed = renamed.filter(null_guard.isNull() & order_guard.isNull())
         lo = F.floor(
             F.unix_seconds(F.col(f"{prefix}{start_col}").cast("timestamp")) / bin_width_s
         )
@@ -73,7 +115,20 @@ def interval_overlap_join(
 
     lb = _binned(left, left_prefix)
     rb = _binned(right, right_prefix)
-    cand = lb.join(rb, [entity_col, "__bin"]).drop("__bin")
+    if salt_buckets:
+        # deterministic salt from the left interval's identity: the hot
+        # (entity, bin) bucket's left rows spread across salt_buckets
+        # sub-keys; the (small) right side replicates to meet every sub-key
+        lb = lb.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*[F.col(f"{left_prefix}{k}") for k in left_keys]), F.lit(salt_buckets)).cast("int"),
+        )
+        rb = rb.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<int>"))
+        )
+        cand = lb.join(rb, [entity_col, "__bin", "__salt"]).drop("__bin", "__salt")
+    else:
+        cand = lb.join(rb, [entity_col, "__bin"]).drop("__bin")
     # an overlapping pair shares every bin their overlap spans — keep one
     pair_keys = [entity_col] + [f"{left_prefix}{k}" for k in left_keys] + [
         f"{right_prefix}{k}" for k in right_keys

@@ -45,6 +45,12 @@ def backfill_features(
         df = dedup_latest(df)
     df = with_turn_metrics(df)
     df = sessionize(df, entity_col=spec.entity_col, gap_s=gap_s)
+    if ewma_engine not in ("pandas", "jvm"):
+        # a typo like 'JVM' must not silently select the other engine
+        # (round-3 advice); matches the mode/staleness validation style
+        raise ValueError(
+            f"ewma_engine must be 'pandas' or 'jvm', got {ewma_engine!r}"
+        )
     df = compile_window_features(df, spec)
     if ewma_span:
         if ewma_engine == "jvm":

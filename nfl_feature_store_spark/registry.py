@@ -854,8 +854,13 @@ FROM s GROUP BY 1, 2
 # (verified 10000/10000 exact at sf0.01). All numeric literals are cast to
 # DOUBLE: DuckDB parses bare `1500.0` as DECIMAL(5,1) and would otherwise
 # run the whole recursion in scale-1 decimal arithmetic.
-# q30/q31/q35/q39/q40/q44/q47 remain rows-only (engine-specific hash
-# families / KMeans init), each pinned by a pytest referee.
+# q30/q31/q40/q44 (MinHash-LSH / SimHash / winnowing) run the engine's
+# PORTABLE md5 hash family here (operators/dedup.py module docstring:
+# md5 hex strings min lexicographically == unsigned numerically;
+# md5_number_lower == conv(reversed-hex, 16, 10) — byte-order verified) so
+# the driver gets full rows+schema+hash oracles; the xxhash64 production
+# default keeps its pytest referees. q39/q47 remain rows-only (random
+# hyperplane / KMeans families are genuinely non-ANSI).
 
 
 def q28_ewma(spark: SparkSession, sf: str) -> DataFrame:
@@ -947,19 +952,84 @@ FROM base b JOIN rec r ON b.user_id = r.user_id AND b.rn = r.rn
 
 def q30_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (shingle → 16 minhashes → 4 bands →
-    bucket join). Hash family is xxhash64 — not SQL-portable, rows-only."""
+    bucket join), portable-md5 family => fully oracled: DuckDB replays the
+    identical shingle/minhash/band/bucket pipeline with list functions."""
     from nfl_feature_store_spark.operators.dedup import minhash_lsh_candidates
 
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 1000)
-    return minhash_lsh_candidates(docs, id_col="doc_id", text_col="text")
+    return minhash_lsh_candidates(docs, id_col="doc_id", text_col="text", hash_fn="md5")
+
+
+Q30_SQL = """
+WITH d AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents WHERE doc_id < 1000
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                                      i -> substring(t, i, 5))) AS s
+  FROM d
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+                        j -> list_min(list_transform(s, x -> md5(x || '#' || j::VARCHAR)))) AS sig
+  FROM sh
+), bnd AS (
+  SELECT doc_id, sig, r.b AS band,
+         md5(array_to_string(sig[r.b * 4 + 1 : r.b * 4 + 4], '|')) AS bucket
+  FROM sig, range(0, 4) r(b)
+), p AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, a.sig AS sa, c.sig AS sc
+  FROM bnd a JOIN bnd c ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+)
+SELECT id_a, id_b,
+       coalesce(list_sum(list_transform(range(1, 17),
+                                        i -> CASE WHEN sa[i] = sc[i] THEN 1 ELSE 0 END)), 0) / 16.0
+         AS est_jaccard
+FROM p
+"""
 
 
 def q31_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash 64-bit fingerprint per document (token-hash bit voting)."""
+    """SimHash 64-bit fingerprint per document (token-hash bit voting),
+    portable-md5 family => fully oracled: DuckDB votes with
+    md5_number_lower, whose bit pattern equals the engine's
+    conv(reversed-hex)-folded signed bigint."""
     from nfl_feature_store_spark.operators.dedup import simhash
 
     docs = load_table(spark, sf, "documents")
-    return simhash(docs, id_col="doc_id", text_col="text")
+    return simhash(docs, id_col="doc_id", text_col="text", hash_fn="md5")
+
+
+# fingerprint construction: per-bit votes over token hashes, then the
+# two's-complement fold HUGEINT -> BIGINT to match Spark's signed simhash64
+Q31_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, toks, list_transform(toks, t -> md5_number_lower(t)) AS hs FROM d
+), v AS (
+  SELECT doc_id, toks,
+         list_transform(range(0, 64), i ->
+            coalesce(list_sum(list_transform(hs,
+                x -> CASE WHEN (x >> i) & 1 = 1 THEN 1 ELSE -1 END)), 0)) AS votes
+  FROM h
+), f AS (
+  SELECT doc_id, toks,
+         coalesce(list_sum(list_transform(range(0, 64), i ->
+            CASE WHEN votes[i + 1] > 0 THEN (1::HUGEINT << i) ELSE 0::HUGEINT END)),
+            0::HUGEINT) AS fp
+  FROM v
+)
+SELECT doc_id,
+       CAST(fp - CASE WHEN fp >= 9223372036854775808::HUGEINT
+                      THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+            AS BIGINT) AS simhash64,
+       len(toks)::INTEGER AS n_tokens
+FROM f
+"""
 
 
 def q34_career_agg(spark: SparkSession, sf: str) -> DataFrame:
@@ -1162,14 +1232,56 @@ def q39_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q40_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup candidate pairs: prefix-bucketed Hamming filter over
-    the 64-bit fingerprints. Rows-only (xxhash64 family); planted-near-dup
-    recovery is pytest-pinned (tests/test_similarity_retrieval.py)."""
+    """SimHash near-dup candidate pairs: 4-table rotated-prefix-bucketed
+    Hamming filter, portable-md5 family => fully oracled (DuckDB rotates on
+    UBIGINT via mod/multiply — same bit pattern as the engine's signed
+    shiftleft|shiftrightunsigned). Planted-near-dup recovery additionally
+    pytest-pinned (tests/test_similarity_retrieval.py)."""
     from nfl_feature_store_spark.operators.dedup import simhash, simhash_near_pairs
 
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 1000)
-    fps = simhash(docs, id_col="doc_id", text_col="text").select("doc_id", "simhash64")
+    fps = simhash(docs, id_col="doc_id", text_col="text", hash_fn="md5").select(
+        "doc_id", "simhash64"
+    )
     return simhash_near_pairs(fps, id_col="doc_id", max_hamming=16, prefix_bits=8)
+
+
+# same fingerprints as Q31 (restricted to doc_id < 1000) kept UNSIGNED;
+# rotation by s: (fp % 2^(64-s)) * 2^s + (fp >> (64-s)) == Spark's
+# shiftleft|shiftrightunsigned bit pattern; bucket = rot >> 56 (top 8 bits)
+Q40_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents WHERE doc_id < 1000
+), h AS (
+  SELECT doc_id, list_transform(toks, t -> md5_number_lower(t)) AS hs FROM d
+), v AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), i ->
+            coalesce(list_sum(list_transform(hs,
+                x -> CASE WHEN (x >> i) & 1 = 1 THEN 1 ELSE -1 END)), 0)) AS votes
+  FROM h
+), f AS (
+  SELECT doc_id,
+         CAST(coalesce(list_sum(list_transform(range(0, 64), i ->
+            CASE WHEN votes[i + 1] > 0 THEN (1::HUGEINT << i) ELSE 0::HUGEINT END)),
+            0::HUGEINT) AS UBIGINT) AS fp
+  FROM v
+), pr AS (
+  SELECT doc_id, fp, r.t AS tbl,
+         CASE WHEN r.t = 0 THEN fp >> 56
+              ELSE (((fp % (1::UBIGINT << (64 - r.t * 16))) * (1::UBIGINT << (r.t * 16)))
+                    + (fp >> (64 - r.t * 16))) >> 56
+         END AS bkt
+  FROM f, range(0, 4) r(t)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.fp, b.fp))::INTEGER AS hamming
+FROM pr a JOIN pr b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 16
+"""
 
 
 def q41_composite_rank(spark: SparkSession, sf: str) -> DataFrame:
@@ -1276,13 +1388,40 @@ FROM documents
 
 def q44_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """Rolling-hash document fingerprinting (winnowing): min-hash of each
-    window of k-gram hashes, deduped. Rows-only (xxhash64 family); the
-    shared-substring guarantee is pytest-pinned."""
+    window of k-gram hashes, deduped — portable-md5 family => fully oracled
+    (count AND an order-insensitive digest of the fingerprint set). The
+    shared-substring guarantee stays pytest-pinned on the xxhash64 default."""
     from nfl_feature_store_spark.functions.text import winnow_fingerprints
 
     docs = load_table(spark, sf, "documents")
-    fps = docs.select("doc_id", winnow_fingerprints("text", k=8, w=4).alias("fps"))
-    return fps.select("doc_id", F.size("fps").cast("long").alias("n_fingerprints"))
+    fps = docs.select(
+        "doc_id", winnow_fingerprints("text", k=8, w=4, hash_fn="md5").alias("fps")
+    )
+    return fps.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.md5(F.array_join(F.array_sort("fps"), ",")).alias("fp_digest"),
+    )
+
+
+Q44_SQL = """
+WITH d AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+                        i -> md5(substring(t, i, 8))) AS hs
+  FROM d
+), m AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                                      i -> list_min(hs[i : i + 3]))) AS fps
+  FROM g
+)
+SELECT doc_id, len(fps)::BIGINT AS n_fingerprints,
+       md5(array_to_string(list_sort(fps), ',')) AS fp_digest
+FROM m
+"""
 
 
 def q45_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
@@ -1578,6 +1717,10 @@ ORACLES: dict[str, str] = {
     "q48_time_rollup": Q48_SQL,
     "q49_asof_tolerance": Q49_SQL,
     "q50_interval_overlap": Q50_SQL,
-    # q30/q31/q39/q40/q44/q47: rows-only (engine-specific hash families /
-    # KMeans init), pytest-refereed
+    "q30_minhash_dedup": Q30_SQL,
+    "q31_simhash": Q31_SQL,
+    "q40_simhash_pairs": Q40_SQL,
+    "q44_winnow_fingerprints": Q44_SQL,
+    # q39/q47: rows-only (random-hyperplane / KMeans-init families are
+    # genuinely non-ANSI), recall-floor pytest-refereed
 }

@@ -240,12 +240,14 @@ def test_elo_pairwise_resumes_from_manifest(spark, tmp_path):
 
 
 def test_elo_pairwise_probabilities_and_updates(spark):
+    # every entity appears at most once per week — the operator's contract,
+    # now enforced with a fail-fast (see test_elo_pairwise_duplicate_entity)
     matches = pd.DataFrame(
         {
             "home": ["A", "B", "A", "C", "B", "A"],
             "away": ["B", "C", "C", "A", "A", "B"],
             "outcome": [1.0, 0.0, 1.0, 0.0, 0.5, 1.0],
-            "week": [1, 1, 2, 3, 4, 5],
+            "week": [1, 6, 2, 3, 4, 5],
         }
     )
     out = elo_pairwise(
@@ -261,3 +263,61 @@ def test_elo_pairwise_probabilities_and_updates(spark):
         assert r["elo_prob_home"] == pytest.approx(
             1.0 / (1.0 + 10 ** (-(r["elo_pre_home"] - r["elo_pre_away"]) / 400.0))
         )
+
+
+def test_elo_pairwise_duplicate_entity_fails_fast(spark):
+    """Round-3 advice: an entity in two played matches of one bucket would
+    have its second delta silently discarded by the vectorized bucket
+    update — the operator must reject the bucket instead."""
+    dup = pd.DataFrame(
+        {
+            "home": ["A", "B"],
+            "away": ["B", "C"],  # B plays twice in week 1
+            "outcome": [1.0, 0.0],
+            "week": [1, 1],
+        }
+    )
+    with pytest.raises(Exception, match="more than one played match"):
+        elo_pairwise(spark.createDataFrame(dup), "home", "away", "outcome", "week").count()
+    # unplayed (NULL-outcome) duplicates are fine: no delta is applied
+    byes = pd.DataFrame(
+        {
+            "home": ["A", "B"],
+            "away": ["B", "A"],
+            "outcome": [None, None],
+            "week": [1, 1],
+        }
+    ).astype({"outcome": "float64"})
+    out = elo_pairwise(spark.createDataFrame(byes), "home", "away", "outcome", "week").toPandas()
+    assert (out["elo_pre_home"] == 1500.0).all()
+
+
+def test_elo_pairwise_driver_pulls_one_row_per_bucket(spark):
+    """Round-3 advice item 7: the driver phase must iterate buckets, not
+    matches — toLocalIterator must yield exactly one (pre-aggregated) row
+    per bucket."""
+    matches = _league_fixture(n_buckets=8, n_pairs=5)
+    sdf = spark.createDataFrame(matches)
+
+    # patch the CONCRETE DataFrame class (PySpark 4's classic subclass
+    # overrides toLocalIterator — patching pyspark.sql.DataFrame is a no-op)
+    cls = type(sdf)
+    pulled = {"rows": 0}
+    orig = cls.toLocalIterator
+
+    def counting(self, prefetchPartitions=False):
+        for row in orig(self, prefetchPartitions=prefetchPartitions):
+            pulled["rows"] += 1
+            yield row
+
+    cls.toLocalIterator = counting
+    try:
+        out = elo_pairwise(sdf, "home", "away", "outcome", "bucket", k=20.0)
+        got = out.toPandas().sort_values("match_id").reset_index(drop=True)
+    finally:
+        cls.toLocalIterator = orig
+
+    assert pulled["rows"] == 8, f"expected 1 row per bucket, driver pulled {pulled['rows']}"
+    exp = _pairwise_referee(matches).sort_values("match_id").reset_index(drop=True)
+    np.testing.assert_allclose(got["elo_pre_home"], exp["pre_h"], rtol=1e-12)
+    np.testing.assert_allclose(got["elo_pre_away"], exp["pre_a"], rtol=1e-12)

@@ -154,3 +154,60 @@ def test_frame_sample_plan(spark):
     assert plan["media_id"].nunique() == vids
     assert plan["frame_idx"].max() <= 7
     assert (plan["frame_ts_ms"] == plan["frame_idx"] * 1000).all()
+
+
+def test_real_wav_decode_end_to_end(spark):
+    """Round-3 verdict item 5: the audio path decodes REAL public-format
+    bytes (RIFF/WAVE PCM) through the full Arrow-batched Spark plumbing —
+    features must reflect the actual signal, not the byte-tiling stub."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from nfl_feature_store_spark.operators.multimodal import FEATURE_DIM, make_wav_bytes
+
+    waves = pd.DataFrame(
+        {
+            "media_id": [0, 1, 2, 3],
+            "kind": ["audio"] * 3 + ["image"],
+            "payload": [
+                make_wav_bytes(freq_hz=440.0, duration_s=0.25, rate=8000, bits=16),
+                make_wav_bytes(freq_hz=3500.0, duration_s=0.5, rate=8000, bits=32),
+                b"\x00\x01not-a-wav",  # audio but unparseable -> stub fallback
+                make_wav_bytes(freq_hz=440.0),  # image kind -> stub (no wav sniffing)
+            ],
+            "mime": ["audio/wav"] * 3 + ["image/png"],
+            "width": [None] * 4,
+            "height": [None] * 4,
+            "duration_ms": [250, 500, None, None],
+        }
+    )
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("duration_ms", T.IntegerType()),
+        ]
+    )
+    out = (
+        extract_media_features(spark.createDataFrame(waves, schema=schema))
+        .toPandas()
+        .set_index("media_id")
+    )
+    f440 = out.loc[0, "feature"]
+    f3500 = out.loc[1, "feature"]
+    assert len(f440) == FEATURE_DIM
+    # real signal features: duration, RMS of a 0.5-amp sine ~ 0.354
+    assert abs(f440[0] - 0.25) < 1e-4 and abs(f3500[0] - 0.5) < 1e-4
+    assert 0.3 < f440[1] < 0.4
+    # spectral bands: 440Hz peaks low, 3500Hz peaks in the top band
+    bands440, bands3500 = list(f440[4:]), list(f3500[4:])
+    assert bands440.index(max(bands440)) <= 2
+    assert bands3500.index(max(bands3500)) >= 9
+    # fallback rows run the deterministic stub (first byte 0x00 -> 0.0)
+    assert out.loc[2, "feature"][0] == 0.0
+    # image kind never consults the wav parser: stub tiles the RIFF bytes
+    assert abs(out.loc[3, "feature"][0] - ord("R") / 255.0) < 1e-6
