@@ -2,12 +2,15 @@
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing (schemas, partition sizing, UDF signatures, batch
-shapes) is real and tested. Codecs: AUDIO has a REAL decoder — a
-pure-numpy RIFF/WAVE PCM parser (``_decode_wav``: 8/16/32-bit int and
-float32 PCM, any channel count, -> FEATURE_DIM spectral-band log-energy
-features via rfft) so the path is honest end-to-end on real bytes;
-image/video remain DISCLOSED STUBS (``_fake_decode`` — the sandbox image
-has no image/video libraries; swap in PIL/ffmpeg in production). The batch
+shapes) is real and tested. Codecs: AUDIO and IMAGE have REAL decoders for
+one public format each — a pure-numpy RIFF/WAVE PCM parser (``_decode_wav``:
+8/16/32-bit int and float32 PCM, any channel count, -> FEATURE_DIM
+spectral-band log-energy features via rfft) and a netpbm PPM/PGM parser
+(``_decode_ppm``: binary P5/P6, maxval <= 65535, -> geometry + luminance
+histogram features) — so both paths are honest end-to-end on real bytes;
+other image codecs and video remain DISCLOSED STUBS (``_fake_decode`` —
+the sandbox image has no codec libraries; swap in PIL/ffmpeg in
+production). The batch
 contract is the part that matters at 100 TB: media bytes never pass through
 Python row-at-a-time, only as Arrow buffers, and per-batch bytes are bounded
 at execution time by the session's
@@ -155,6 +158,74 @@ def _decode_wav(payload: bytes) -> np.ndarray | None:
         return None
 
 
+def make_ppm_bytes(width: int = 32, height: int = 24, maxval: int = 255) -> bytes:
+    """Synthesize a REAL binary PPM (P6) image — a deterministic horizontal
+    R gradient x vertical G gradient with constant B — fixture bytes for the
+    honest end-to-end image path."""
+    x = np.linspace(0, maxval, width, dtype="float64")
+    y = np.linspace(0, maxval, height, dtype="float64")
+    r = np.tile(x, (height, 1))
+    g = np.tile(y[:, None], (1, width))
+    b = np.full((height, width), maxval // 2, dtype="float64")
+    rgb = np.stack([r, g, b], axis=-1)
+    dt = ">u2" if maxval > 255 else "u1"
+    header = f"P6\n{width} {height}\n{maxval}\n".encode()
+    return header + rgb.astype(dt).tobytes()
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray | None:
+    """Pure-numpy netpbm parser (binary P6 RGB / P5 grayscale, with comment
+    handling) -> FEATURE_DIM features, or None when the payload is not
+    parseable netpbm (caller falls back to the stub).
+
+    Features: [width, height, aspect, mean luminance] + (FEATURE_DIM - 4)
+    bins of the normalized luminance histogram — real geometry and signal
+    statistics from real bytes.
+    """
+    try:
+        if payload is None or len(payload) < 10 or payload[:2] not in (b"P5", b"P6"):
+            return None
+        kind = payload[:2]
+        # netpbm header: three whitespace-separated ints, '#' comments to EOL
+        pos, fields = 2, []
+        while len(fields) < 3:
+            if pos >= len(payload):
+                return None
+            c = payload[pos : pos + 1]
+            if c == b"#":
+                while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                    pos += 1
+            elif c.isspace():
+                pos += 1
+            elif c.isdigit():
+                j = pos
+                while j < len(payload) and payload[j : j + 1].isdigit():
+                    j += 1
+                fields.append(int(payload[pos:j]))
+                pos = j
+            else:
+                return None
+        pos += 1  # single whitespace after maxval precedes the raster
+        w, h, maxval = fields
+        if not (0 < w and 0 < h and 0 < maxval <= 65535):
+            return None
+        ch = 3 if kind == b"P6" else 1
+        dt = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+        need = w * h * ch * dt.itemsize
+        raster = payload[pos : pos + need]
+        if len(raster) < need:
+            return None
+        px = np.frombuffer(raster, dtype=dt).astype("float64").reshape(h, w, ch) / maxval
+        lum = px @ [0.299, 0.587, 0.114] if ch == 3 else px[:, :, 0]
+        n_bins = FEATURE_DIM - 4
+        hist, _ = np.histogram(lum, bins=n_bins, range=(0.0, 1.0))
+        hist = hist / lum.size
+        head = [float(w), float(h), w / h, float(lum.mean())]
+        return np.concatenate([head, hist]).astype("float32")
+    except ValueError:
+        return None
+
+
 def _fake_decode(payload: bytes) -> np.ndarray:
     """Deterministic stand-in for a real decoder: derives a FEATURE_DIM
     float vector from the payload bytes. Replace with a real codec call
@@ -168,12 +239,17 @@ def _fake_decode(payload: bytes) -> np.ndarray:
 
 
 def decode_stub(payload: bytes, kind: str) -> np.ndarray:
-    """Dispatch: audio WAV payloads get the REAL decoder; anything else
-    falls through to the disclosed deterministic stand-in."""
+    """Dispatch: audio WAV and image PPM/PGM payloads get the REAL
+    decoders; anything else falls through to the disclosed deterministic
+    stand-in."""
     if kind not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for media kind {kind!r}")
     if kind == "audio":
         real = _decode_wav(payload)
+        if real is not None:
+            return real
+    elif kind == "image":
+        real = _decode_ppm(payload)
         if real is not None:
             return real
     return _fake_decode(payload)

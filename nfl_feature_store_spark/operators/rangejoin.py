@@ -5,9 +5,11 @@ not in OSS Spark): a naive interval join compiles to
 BroadcastNestedLoopJoin or a cartesian product — quadratic per entity.
 The distributed pattern is BINNING: explode each interval into the
 fixed-width time bins it spans, equi-join on (entity, bin) — which hash-
-partitions and shuffles like any other join — then de-duplicate candidate
-pairs and apply the exact overlap predicate. Cost is
-O(sum of interval_length / bin_width) rows instead of |L|x|R| per entity.
+partitions and shuffles like any other join — keep each pair only in the
+FIRST bin its overlap spans (a filter, so no dedup shuffle), and apply the
+exact overlap predicate. Cost is O(sum of interval_length / bin_width)
+rows instead of |L|x|R| per entity, and the whole operator is ONE exchange
+pair (the join's), same as a plain equi-join.
 
 Reference analog: none (single-node pandas never needs this); the operator
 exists for the feature-store workloads the north rule targets — joining
@@ -126,18 +128,23 @@ def interval_overlap_join(
         rb = rb.withColumn(
             "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<int>"))
         )
-        cand = lb.join(rb, [entity_col, "__bin", "__salt"]).drop("__bin", "__salt")
+        cand = lb.join(rb, [entity_col, "__bin", "__salt"]).drop("__salt")
     else:
-        cand = lb.join(rb, [entity_col, "__bin"]).drop("__bin")
-    # an overlapping pair shares every bin their overlap spans — keep one
-    pair_keys = [entity_col] + [f"{left_prefix}{k}" for k in left_keys] + [
-        f"{right_prefix}{k}" for k in right_keys
-    ]
-    cand = cand.dropDuplicates(pair_keys)
+        cand = lb.join(rb, [entity_col, "__bin"])
     ls = F.col(f"{left_prefix}{start_col}").cast("timestamp")
     le = F.col(f"{left_prefix}{end_col}").cast("timestamp")
     rs = F.col(f"{right_prefix}{start_col}").cast("timestamp")
     re = F.col(f"{right_prefix}{end_col}").cast("timestamp")
+    # an overlapping pair shares every bin their overlap spans; instead of a
+    # dropDuplicates on pair keys — a SECOND shuffle — keep only the FIRST
+    # shared bin: the overlap starts at max(l.start, r.start), so its first
+    # bin is max(lo_l, lo_r), a pure filter on columns already in the row.
+    # The salted path stays exact: each left row carries ONE salt, so a pair
+    # still appears once per shared bin, in a single salt partition.
+    first_shared = F.greatest(
+        F.floor(F.unix_seconds(ls) / bin_width_s), F.floor(F.unix_seconds(rs) / bin_width_s)
+    )
+    cand = cand.filter(F.col("__bin") == first_shared).drop("__bin")
     out = cand.filter((ls <= re) & (rs <= le))
     overlap = F.unix_seconds(F.least(le, re)) - F.unix_seconds(F.greatest(ls, rs))
     return out.withColumn("overlap_secs", overlap)

@@ -118,3 +118,23 @@ def test_salted_join_keys_include_salt(spark, hot_bin):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan
+
+
+def test_no_dedup_shuffle(spark, hot_bin):
+    """The first-shared-bin filter replaces dropDuplicates: any exchange in
+    the executed plan belongs to the join itself (keys (entity, __bin));
+    there is no post-join exchange on pair keys. On this fixture AQE
+    broadcasts the deploy side, so the plan may legally have ZERO
+    exchanges — which the old dropDuplicates version could never achieve
+    (its dedup always shuffled on the pair keys)."""
+    import re
+
+    sessions, deploys = hot_bin
+    out = _join(sessions, deploys, bin_width_s=86400)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    ex = [re.sub(r"#\d+L?", "", e) for e in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)]
+    assert len(ex) <= 2, ex
+    for e in ex:
+        assert e.startswith("entity, __bin"), ex
+    assert "iid" not in " ".join(ex)

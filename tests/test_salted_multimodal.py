@@ -211,3 +211,54 @@ def test_real_wav_decode_end_to_end(spark):
     assert out.loc[2, "feature"][0] == 0.0
     # image kind never consults the wav parser: stub tiles the RIFF bytes
     assert abs(out.loc[3, "feature"][0] - ord("R") / 255.0) < 1e-6
+
+
+def test_real_ppm_decode_end_to_end(spark):
+    """Image tier of the real-codec path: binary netpbm (P6 RGB / P5 gray)
+    decoded through the Arrow-batched plumbing — geometry and luminance
+    statistics must reflect the actual raster."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from nfl_feature_store_spark.operators.multimodal import FEATURE_DIM, make_ppm_bytes
+
+    rows = pd.DataFrame(
+        {
+            "media_id": [0, 1, 2],
+            "kind": ["image", "image", "image"],
+            "payload": [
+                make_ppm_bytes(32, 24, maxval=255),
+                make_ppm_bytes(8, 8, maxval=65535),  # 16-bit raster
+                b"\x89PNG\r\n\x1a\nnot-parsed-here",  # other codec -> stub
+            ],
+            "mime": ["image/x-portable-pixmap"] * 2 + ["image/png"],
+            "width": [32, 8, None],
+            "height": [24, 8, None],
+            "duration_ms": [None] * 3,
+        }
+    )
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("duration_ms", T.IntegerType()),
+        ]
+    )
+    out = (
+        extract_media_features(spark.createDataFrame(rows, schema=schema))
+        .toPandas()
+        .set_index("media_id")
+    )
+    f = out.loc[0, "feature"]
+    assert len(f) == FEATURE_DIM
+    assert (f[0], f[1]) == (32.0, 24.0) and abs(f[2] - 32 / 24) < 1e-5
+    assert 0.4 < f[3] < 0.6  # gradient image: mean luminance ~ 0.5
+    assert abs(sum(f[4:]) - 1.0) < 1e-4  # normalized luminance histogram
+    f16 = out.loc[1, "feature"]
+    assert (f16[0], f16[1]) == (8.0, 8.0)
+    # unparseable codec falls back to the disclosed stub (tiles raw bytes)
+    assert abs(out.loc[2, "feature"][0] - 0x89 / 255.0) < 1e-6
