@@ -69,11 +69,20 @@ def backfill_features(
             )
         else:
             # default: pandas grouped-cython kernel, measured fastest.
-            # presorted: the window stage upstream already hash-partitioned by
-            # entity and sorted within partitions by (entity, anchor, ts, turn)
-            # — anchor is monotone along ts within an entity, so per-entity
-            # rows arrive contiguous-in-order and the mapInPandas kernel needs
-            # no extra shuffle or sort
+            # presorted: the window stage upstream already hash-partitioned
+            # by entity and sorted within partitions by (entity, ts, turn),
+            # so the kernel adds no shuffle or sort.
+            #
+            # POSITION IS LOAD-BEARING — the kernel must be the LAST
+            # per-entity stage: mapInPandas output has unknown partitioning
+            # to Catalyst, so any window stage placed after it re-exchanges
+            # on the entity (measured: a 3rd full-table shuffle). Running
+            # EWMA first was A/B'd for wide specs (59 metrics): the
+            # narrower Arrow payload won ~25% on a single membw-bound box,
+            # but it trades a second full shuffle of the corpus — network +
+            # spill at 10^12 rows — for executor-local Arrow bandwidth,
+            # which is the wrong direction at cluster scale. One exchange
+            # beats a thinner barrier.
             df = with_ewma(
                 df,
                 metrics=spec.metrics,

@@ -104,3 +104,23 @@ def test_wide_spec_with_ewma_stays_one_exchange(wide_input):
     plan = feats._jdf.queryExecution().executedPlan().toString()
     exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert exchanges == ["conv_id"], exchanges
+
+
+def test_full_flagship_exactly_two_exchanges(spark, transcripts_sdf):
+    """Regression pin for the pipeline's exchange budget: the COMPLETE
+    flagship (dedup -> metrics -> sessionize -> windows -> EWMA -> rank)
+    executes with exactly one hash(conv_id) exchange and one
+    hash(__bucket) exchange. Catches any stage reordering that puts a
+    window after the mapInPandas barrier (whose output partitioning is
+    unknown to Catalyst and forces a third full-table shuffle — measured
+    when EWMA was experimentally moved before the window stage)."""
+    from nfl_feature_store_spark.plans.pipeline import backfill_features
+
+    feats = backfill_features(transcripts_sdf)
+    feats.count()
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    keys = sorted(
+        e.split(",")[0].split("#")[0]
+        for e in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    )
+    assert keys == ["__bucket", "conv_id"], keys
