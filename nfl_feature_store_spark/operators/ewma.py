@@ -138,8 +138,14 @@ def with_ewma_jvm(
     Measured honestly (local[8], 2.5M turns, warm plans): the pandas kernel
     is still 15-25% faster end-to-end — cython ewm plus one Arrow copy beats
     the extra (entity, chunk) sort + per-row marker lists this formulation
-    needs. So the pipeline DEFAULTS to the pandas kernel; use this engine
-    where Python workers are unavailable or prohibited:
+    needs. And the gap WIDENS with metric count: at the reference's
+    59-metric width (sf0.1, local[32]) this engine measured ~5x slower than
+    the pandas kernel (~115s vs ~17-33s) — its cost is ~15 window
+    expressions PER METRIC per row, while the pandas kernel amortizes all
+    metrics over one Arrow round-trip and one grouped-cython pass. So the
+    pipeline DEFAULTS to the pandas kernel at every width; use this engine
+    only where Python workers are unavailable or prohibited, and prefer
+    narrow metric sets when you do:
 
     1. Chunk each entity's stream into runs of ``chunk_rows`` rows. Within a
        chunk, the zero-seeded partial EWM has the closed form
