@@ -47,8 +47,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalents (omitted for the sequential
-    recursions and hash-family ops — rows-only checks)."""
+    """DuckDB-runnable SQL equivalents — 48 of 50, including the sequential
+    recursions (recursive CTEs) and the MinHash/SimHash/winnowing pipelines
+    (portable md5 hash family, replayed with DuckDB list algebra). Omitted
+    only for q39/q47, whose random-hyperplane/KMeans families are genuinely
+    non-SQL (rows-only checks, recall pytest-refereed)."""
     from nfl_feature_store_spark.registry import ORACLES
 
     return ORACLES
