@@ -56,6 +56,7 @@ def with_ewma(
     presorted: bool = False,
     num_partitions: int | None = None,
     max_partition_rows: int | None = None,
+    transport: str = "arrow",
 ) -> DataFrame:
     """Attach ``ewma_{m}`` per metric: span-EWM of the lag-1 series per entity.
 
@@ -63,7 +64,21 @@ def with_ewma(
     materializes one partition in pandas by design (see module docstring), so
     a partition blown up by a pathologically hot entity should FAIL FAST with
     guidance (route the hot entity through operators/salted.py salted_ewm, or
-    raise num_partitions) rather than OOM the worker."""
+    raise num_partitions) rather than OOM the worker.
+
+    ``transport`` (round-4): ``"arrow"`` (default) runs the kernel via
+    ``mapInArrow`` — passthrough columns (the TEXT payload above all) stay
+    Arrow buffers end-to-end and only ``(entity, order, reset?, metrics)``
+    are converted to pandas for the grouped-cython EWM; the computed columns
+    are appended to the original RecordBatches positionally. ``"pandas"``
+    keeps the original ``mapInPandas`` kernel (every column converted to
+    Python objects both ways). Same math, same cython, identical results —
+    the 2-core stage probe measured the EWMA stage as 264s of the 395s
+    flagship with the pandas transport, dominated by string
+    materialization, and it is also the pipeline's heaviest memory-bandwidth
+    consumer (the stage that collapses first under membw co-tenancy)."""
+    if transport not in ("arrow", "pandas"):
+        raise ValueError(f"transport must be 'arrow' or 'pandas', got {transport!r}")
     out_schema = T.StructType(
         list(df.schema.fields)
         + [T.StructField(f"{prefix}{m}", T.DoubleType(), True) for m in metrics]
@@ -105,12 +120,64 @@ def with_ewma(
             pdf[f"{prefix}{m}"] = ewm  # aligns on the original row index
         yield pdf
 
+    def arrow_kernel(batches):
+        import pyarrow as pa
+
+        blist = []
+        total = 0
+        for b in batches:
+            total += b.num_rows
+            if max_partition_rows is not None and total > max_partition_rows:
+                raise ValueError(
+                    f"with_ewma partition holds > max_partition_rows="
+                    f"{max_partition_rows} rows; a hot entity this size belongs in "
+                    "operators.salted.salted_ewm, or raise num_partitions"
+                )
+            blist.append(b)
+        if not blist:
+            return
+        tbl = pa.Table.from_batches(blist)
+        # ONLY the compute columns cross into pandas; text & friends stay
+        # Arrow buffers and ride through untouched
+        need = group_keys + [c for c in order if c not in group_keys] + [
+            m for m in metrics if m not in group_keys
+        ]
+        sub = tbl.select(need).to_pandas()
+        spdf = (
+            sub
+            if presorted
+            else sub.sort_values(group_keys + order, kind="mergesort")
+        )
+        g = spdf.groupby(group_keys, sort=False, dropna=False)
+        out = tbl
+        for m in metrics:
+            shifted = g[m].shift(1).astype("float64")
+            ewm = (
+                shifted.groupby([spdf[k] for k in group_keys], sort=False, dropna=False)
+                .ewm(span=span, adjust=False)
+                .mean()
+            )
+            ewm.index = ewm.index.get_level_values(-1)
+            # back to the partition's original positional order so the
+            # appended column lines up with the untouched batches.
+            # from_pandas=True: leading-window NaNs become Arrow NULLs —
+            # matching the mapInPandas transport (a bare pa.array would
+            # keep them as float NaN VALUES, which Spark treats as NaN,
+            # not NULL)
+            col = ewm.reindex(range(len(sub))).to_numpy()
+            out = out.append_column(
+                f"{prefix}{m}", pa.array(col, type=pa.float64(), from_pandas=True)
+            )
+        yield from out.to_batches()
+
     if presorted:
         clustered = df
     else:
         n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         clustered = df.repartition(int(n), entity_col).sortWithinPartitions(entity_col, *order)
-    return clustered.mapInPandas(kernel, schema=out_schema)
+    if transport == "pandas":
+        return clustered.mapInPandas(kernel, schema=out_schema)
+    return clustered.mapInArrow(arrow_kernel, schema=out_schema)
 
 
 def with_ewma_jvm(
