@@ -67,18 +67,29 @@ def elo_per_entity(
     presorted: bool = False,
     num_partitions: int | None = None,
     max_partition_rows: int | None = None,
+    transport: str = "arrow",
 ) -> DataFrame:
     """Per-entity cumulative rating before each event (parallel by entity).
 
-    ``mapInPandas`` over entity-clustered partitions (same rationale as
-    operators/ewma.py: per-group applyInPandas pays ~10ms Arrow overhead per
-    conversation — ruinous at 10^9 entities). Within a partition, group
+    Arrow-batched kernel over entity-clustered partitions (same rationale
+    as operators/ewma.py: per-group applyInPandas pays ~10ms Arrow overhead
+    per conversation — ruinous at 10^9 entities). Within a partition, group
     boundaries are found once on the sorted entity column and the sequential
     scan runs per slice on raw numpy arrays. ``max_partition_rows`` is the
     same fail-fast memory tripwire as with_ewma's.
+
+    ``transport`` (round-4, mirrors with_ewma): ``"arrow"`` (default) runs
+    via ``mapInArrow`` — passthrough columns (text payloads) stay Arrow
+    buffers; only (entity, order, outcome[, opponent]) cross into
+    pandas/numpy and the rating column is appended positionally.
+    ``"pandas"`` keeps the original full-row ``mapInPandas`` kernel.
+    Results are identical (NaN outcomes skip updates either way; the
+    appended column maps NaN→NULL like the pandas transport).
     """
     from collections.abc import Iterator
 
+    if transport not in ("arrow", "pandas"):
+        raise ValueError(f"transport must be 'arrow' or 'pandas', got {transport!r}")
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.DoubleType(), True)]
     )
@@ -116,12 +127,54 @@ def elo_per_entity(
         pdf[out_col] = pre
         yield pdf
 
+    def arrow_kernel(batches):
+        import pyarrow as pa
+
+        blist = []
+        total = 0
+        for b in batches:
+            total += b.num_rows
+            if max_partition_rows is not None and total > max_partition_rows:
+                raise ValueError(
+                    f"elo_per_entity partition holds > max_partition_rows="
+                    f"{max_partition_rows} rows; raise num_partitions or thin the projection"
+                )
+            blist.append(b)
+        if not blist:
+            return
+        tbl = pa.Table.from_batches(blist)
+        need = [entity_col] + order + [outcome_col]
+        if opponent_rating_col:
+            need.append(opponent_rating_col)
+        sub = tbl.select(need).to_pandas()
+        # compute on the sorted view, scatter back to original positions
+        spdf = sub.sort_values([entity_col] + order, kind="mergesort")
+        outcomes = spdf[outcome_col].astype("float64").to_numpy()
+        opp = (
+            spdf[opponent_rating_col].astype("float64").to_numpy()
+            if opponent_rating_col
+            else np.full(len(spdf), init)
+        )
+        ent = spdf[entity_col].to_numpy()
+        starts = np.flatnonzero(np.r_[True, ent[1:] != ent[:-1]])
+        ends = np.r_[starts[1:], len(ent)]
+        pre_sorted = np.empty(len(ent), dtype="float64")
+        for s, e in zip(starts, ends):
+            pre_sorted[s:e] = _elo_scan(outcomes[s:e], opp[s:e], k, init)
+        pre = np.empty(len(sub), dtype="float64")
+        pre[spdf.index.to_numpy()] = pre_sorted
+        yield from tbl.append_column(
+            out_col, pa.array(pre, type=pa.float64(), from_pandas=True)
+        ).to_batches()
+
     if presorted:
         clustered = df
     else:
         n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         clustered = df.repartition(int(n), entity_col).sortWithinPartitions(entity_col, *order)
-    return clustered.mapInPandas(kernel, schema=out_schema)
+    if transport == "pandas":
+        return clustered.mapInPandas(kernel, schema=out_schema)
+    return clustered.mapInArrow(arrow_kernel, schema=out_schema)
 
 
 def elo_pairwise(
