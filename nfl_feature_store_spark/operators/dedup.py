@@ -67,11 +67,16 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _shingles(text_col: str, k: int = 5):
-    """Distinct k-gram character shingles of the lowercased text."""
+    """Distinct k-gram character shingles of the lowercased text.
+
+    NULL text coalesces to '' (one empty shingle) so NULL and empty
+    documents fingerprint identically — matching the oracle SQL's
+    coalesce and winnow_fingerprints' convention (round-4 advice)."""
+    t = f"lower(coalesce({text_col}, ''))"
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(1, greatest(length(lower({text_col})) - {k - 1}, 1)),"
-            f" i -> substring(lower({text_col}), i, {k}))"
+            f"transform(sequence(1, greatest(length({t}) - {k - 1}, 1)),"
+            f" i -> substring({t}, i, {k}))"
         )
     )
 
@@ -183,16 +188,21 @@ def simhash(df: DataFrame, id_col: str, text_col: str, hash_fn: str = "xxhash64"
     """
     _check_hash_fn(hash_fn)
     tok_hash = "xxhash64(t)" if hash_fn == "xxhash64" else MD5_LOWER64_SQL
-    tokens = F.expr(f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')")
+    # NULL text coalesces to '' (0 tokens, all-zero votes -> fingerprint 0,
+    # n_tokens 0) so Spark and the DuckDB oracle agree on NULL semantics
+    # (round-4 advice: previously NULL text yielded NULL simhash64 here but
+    # 0 in the coalescing oracle)
+    src = f"coalesce({text_col}, '')"
+    tokens = F.expr(f"filter(split(lower({src}), '\\\\s+'), t -> t != '')")
     votes = F.expr(
         """
         aggregate(
-          transform(filter(split(lower(text), '\\\\s+'), t -> t != ''), t -> TOKHASH),
+          transform(filter(split(lower(SRC), '\\\\s+'), t -> t != ''), t -> TOKHASH),
           array_repeat(0L, 64),
           (acc, h) -> zip_with(acc, sequence(0, 63),
                                (a, i) -> a + CASE WHEN ((h >> i) & 1L) = 1L THEN 1L ELSE -1L END)
         )
-        """.replace("text", text_col).replace("TOKHASH", tok_hash)
+        """.replace("SRC", src).replace("TOKHASH", tok_hash)
     )
     bits = F.expr(
         "aggregate(zip_with(__votes, sequence(0, 63), (v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, cast(i AS int)) ELSE 0L END),"

@@ -146,6 +146,9 @@ def elo_per_entity(
         need = [entity_col] + order + [outcome_col]
         if opponent_rating_col:
             need.append(opponent_rating_col)
+        # dedupe (dict.fromkeys): outcome/opponent columns may coincide with
+        # an order column; duplicate names crash pa.Table.select downstream
+        need = list(dict.fromkeys(need))
         sub = tbl.select(need).to_pandas()
         # compute on the sorted view, scatter back to original positions
         spdf = sub.sort_values([entity_col] + order, kind="mergesort")

@@ -139,9 +139,10 @@ def with_ewma(
         tbl = pa.Table.from_batches(blist)
         # ONLY the compute columns cross into pandas; text & friends stay
         # Arrow buffers and ride through untouched
-        need = group_keys + [c for c in order if c not in group_keys] + [
-            m for m in metrics if m not in group_keys
-        ]
+        # dict.fromkeys dedupe: a metric can coincide with an order column
+        # (e.g. EWMA over ts itself) — pa.Table.select would then yield
+        # duplicate columns and sub[m] a DataFrame, crashing obscurely
+        need = list(dict.fromkeys(group_keys + order + list(metrics)))
         sub = tbl.select(need).to_pandas()
         spdf = (
             sub

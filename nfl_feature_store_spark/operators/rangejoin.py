@@ -90,8 +90,13 @@ def interval_overlap_join(
                 f"side; filter or fill NULL intervals before joining"
             ),
         )
+        # NULL-tolerant: Catalyst may evaluate both guards in either order, so
+        # a NULL interval must pass THIS guard (NULL comparisons are NULL ->
+        # assert would throw the wrong message) and trip null_guard instead
         order_guard = F.assert_true(
-            e_raw.cast("timestamp") >= s_raw.cast("timestamp"),
+            s_raw.isNull()
+            | e_raw.isNull()
+            | (e_raw.cast("timestamp") >= s_raw.cast("timestamp")),
             F.lit(
                 f"interval_overlap_join: inverted interval ({end_col} < {start_col}) "
                 f"on the {side} side; fix or filter before joining"
