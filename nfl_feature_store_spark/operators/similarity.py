@@ -163,6 +163,15 @@ def _quantizer_fit_input(feat: DataFrame, fit_sample_rows: int | None, seed: int
     return feat.sample(fraction=min(1.0, 1.05 * fit_sample_rows / n), seed=seed)
 
 
+def _seq_selfdot(vec: list[float]) -> float:
+    """Sequential left-to-right <v, v> — bitwise identical to Spark's
+    aggregate fold (both are IEEE-754 double adds in the same order)."""
+    acc = 0.0
+    for x in vec:
+        acc += x * x
+    return acc
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -174,15 +183,26 @@ def ivf_topk(
     query_id_col: str = "qid",
     seed: int = 7,
     fit_sample_rows: int | None = 20_000,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF coarse quantizer.
 
     1. Fit KMeans(n_centroids, seed) on a seeded sample of at most
        ~``fit_sample_rows`` corpus vectors (MLlib — one bounded training job
        whose input size is independent of corpus size; the assignment below
-       still covers every vector as a broadcast-centroid column pass).
+       still covers every vector as a broadcast-centroid column pass) — OR,
+       when ``centroids`` is supplied, skip training entirely and use the
+       pretrained quantizer (the production deployment shape: train once,
+       version the centroids, reuse across assignment jobs; also what makes
+       the operator SQL-oracle-replayable, since the quantizer becomes a
+       literal instead of a runtime artifact).
     2. Assign every corpus vector to its nearest centroid — the inverted
-       file. At scale this is materialized once (bucketed table).
+       file. At scale this is materialized once (bucketed table). In
+       pretrained mode assignment is a PURE COLUMN EXPRESSION (no MLlib, no
+       join): distances to all centroids via the expansion
+       ``d2 = <v,v> - 2<v,c> + cc`` with ``cc`` precomputed literals, then
+       ``array_position(dists, array_min(dists))`` — first-minimum
+       tie-break, identical to a (d2 asc, centroid asc) rank.
     3. Each query probes its ``n_probe`` nearest centroids (tiny
        query x centroid cross join, broadcast) and exact-reranks only those
        buckets: candidates ~ corpus * n_probe / n_centroids.
@@ -190,30 +210,68 @@ def ivf_topk(
     Scores are exact cosines — only the candidate set is approximate, same
     contract as :func:`lsh_topk`. Recall floors pytest-pinned.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     c = corpus.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")).withColumn(
         "cn", _norm("cv")
     )
-    feat = c.select("cid", "cv", array_to_vector(F.col("cv")).alias("features"))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="centroid").fit(
-        _quantizer_fit_input(feat, fit_sample_rows, seed)
-    )
-    inverted = model.transform(feat).select("cid", "cv", "centroid").join(
-        c.select("cid", "cn"), "cid"
-    )
+    if centroids is not None:
+        n_centroids = len(centroids)
+        selfdots = [_seq_selfdot([float(x) for x in v]) for v in centroids]
+        cents = [
+            (i, [float(x) for x in v], selfdots[i]) for i, v in enumerate(centroids)
+        ]
+        cents_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.array(*[F.lit(x) for x in v]).alias("c"),
+                    F.lit(cc).alias("cc"),
+                )
+                for i, v, cc in cents
+            ]
+        )
+        dot_vc = "aggregate(zip_with(cv, s.c, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"
+        dists = F.expr(f"transform(__cents, s -> __vv - 2 * {dot_vc} + s.cc)")
+        inverted = (
+            c.withColumn("__vv", F.expr("aggregate(zip_with(cv, cv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+            .withColumn("__cents", cents_arr)
+            .withColumn("__ds", dists)
+            .withColumn(
+                "centroid",
+                (F.array_position(F.col("__ds"), F.array_min("__ds")) - 1).cast("int"),
+            )
+            .select("cid", "cv", "cn", "centroid")
+        )
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    cents = [(i, [float(x) for x in v]) for i, v in enumerate(model.clusterCenters())]
-    cent_df = corpus.sparkSession.createDataFrame(cents, "centroid int, cvec array<double>")
+        feat = c.select("cid", "cv", array_to_vector(F.col("cv")).alias("features"))
+        model = KMeans(
+            k=n_centroids, seed=seed, featuresCol="features", predictionCol="centroid"
+        ).fit(_quantizer_fit_input(feat, fit_sample_rows, seed))
+        inverted = model.transform(feat).select("cid", "cv", "centroid").join(
+            c.select("cid", "cn"), "cid"
+        )
+        cents = [
+            (i, [float(x) for x in v], _seq_selfdot([float(x) for x in v]))
+            for i, v in enumerate(model.clusterCenters())
+        ]
+
+    cent_df = corpus.sparkSession.createDataFrame(
+        cents, "centroid int, cvec array<double>, cc double"
+    )
 
     q = queries.select(F.col(query_id_col).alias("qid"), _as_double(vec_col).alias("qv")).withColumn(
         "qn", _norm("qv")
     )
-    l2 = F.expr("aggregate(zip_with(qv, cvec, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
+    # same d2 expansion as assignment (oracle-mirrorable; <q,q> hoisted once)
+    l2 = F.expr(
+        "__qvv - 2 * aggregate(zip_with(qv, cvec, (a, b) -> a * b), 0D, (acc, x) -> acc + x) + cc"
+    )
     probe_w = Window.partitionBy("qid").orderBy(F.col("__d").asc(), F.col("centroid").asc())
     probes = (
-        q.crossJoin(F.broadcast(cent_df))
+        q.withColumn("__qvv", F.expr("aggregate(zip_with(qv, qv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+        .crossJoin(F.broadcast(cent_df))
         .withColumn("__d", l2)
         .withColumn("__pr", F.row_number().over(probe_w))
         .filter(F.col("__pr") <= n_probe)
