@@ -14,6 +14,20 @@ within the watermark collapses via upstream dedup; rows older than a
 previously processed turn would recurse from the wrong state, so transports
 that reorder beyond the watermark need the batch backfill path instead —
 the same late-data boundary the session aggregates draw.
+
+State eviction (round-4 VERDICT item 3): both kernels carry ``state_ttl``
+(default 30 days) — an EVENT-TIME timeout anchored at each conversation's
+latest turn. When the stream's watermark passes ``last_turn_ts + ttl`` and
+the conversation has received no new data, its state is REMOVED — without
+this, the state store grows monotonically with every conversation ever
+seen (unbounded at 10^9 conversations); with it, state size tracks the
+ACTIVE conversation set. Resume-on-reappearance semantics (documented
+contract): an evicted conversation that produces a new turn restarts its
+recursion from scratch — EWMA reseeds from the first new lag value (its
+first new row emits NULL), Elo re-initializes at ``init``. For workloads
+that must survive arbitrary idle gaps, reseed from the batch engine's
+latest-snapshot table at startup instead of raising the TTL toward
+infinity. ``state_ttl=None`` restores the old keep-forever behavior.
 """
 
 from __future__ import annotations
@@ -27,11 +41,21 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def _ttl_ms(state_ttl: str | None) -> int | None:
+    if state_ttl is None:
+        return None
+    ms = int(pd.Timedelta(state_ttl).total_seconds() * 1000)
+    if ms <= 0:
+        raise ValueError(f"state_ttl must be a positive duration, got {state_ttl!r}")
+    return ms
+
+
 def streaming_ewma(
     turns: DataFrame,
     metrics: tuple[str, ...] = ("chars",),
     span: int = 10,
     watermark: str = "2 hours",
+    state_ttl: str | None = "30 days",
 ) -> DataFrame:
     """Streaming span-EWM of the lag-1 metric series per conversation.
 
@@ -59,9 +83,16 @@ def streaming_ewma(
         + [T.StructField("n_seen", T.LongType(), True)]
     )
 
+    ttl_ms = _ttl_ms(state_ttl)
+
     def kernel(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle past TTL: evict. A later reappearance restarts the
+            # recursion (module docstring resume contract).
+            state.remove()
+            return
         if state.exists:
             st = list(state.get)
         else:
@@ -84,12 +115,18 @@ def streaming_ewma(
             out[f"ewma_{m}"] = col
         st[-1] = n_seen + len(pdf)
         state.update(tuple(st))
+        if ttl_ms is not None:
+            # anchor at the newest turn: rows behind the watermark are
+            # dropped upstream, so max(ts) > watermark and the target is
+            # always a legal (future-of-watermark) timeout
+            state.setTimeoutTimestamp(int(pdf["ts"].max().value // 1_000_000) + ttl_ms)
         yield pd.DataFrame(out)
 
     keyed = turns.withWatermark("ts", watermark).groupBy("conv_id")
-    return keyed.applyInPandasWithState(
-        kernel, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    timeout = (
+        GroupStateTimeout.NoTimeout if ttl_ms is None else GroupStateTimeout.EventTimeTimeout
     )
+    return keyed.applyInPandasWithState(kernel, out_schema, state_schema, "append", timeout)
 
 
 def streaming_elo(
@@ -99,6 +136,7 @@ def streaming_elo(
     init: float = 1500.0,
     opponent_rating: float = 1500.0,
     watermark: str = "2 hours",
+    state_ttl: str | None = "30 days",
 ) -> DataFrame:
     """Streaming per-entity Elo (operators/elo.py elo_per_entity semantics):
     ``elo_pre`` is the rating BEFORE each event; NULL outcomes pass through
@@ -114,9 +152,14 @@ def streaming_elo(
     )
     state_schema = T.StructType([T.StructField("r", T.DoubleType(), True)])
 
+    ttl_ms = _ttl_ms(state_ttl)
+
     def kernel(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # reappearance re-initializes at `init`
+            return
         r = state.get[0] if state.exists else init
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ["ts", "turn_idx"], kind="mergesort", ignore_index=True
@@ -128,11 +171,14 @@ def streaming_elo(
                 expected = 1.0 / (1.0 + 10.0 ** (-(r - opponent_rating) / 400.0))
                 r = r + k * (o - expected)
         state.update((r,))
+        if ttl_ms is not None:
+            state.setTimeoutTimestamp(int(pdf["ts"].max().value // 1_000_000) + ttl_ms)
         yield pd.DataFrame(
             {"conv_id": pdf["conv_id"], "turn_idx": pdf["turn_idx"], "ts": pdf["ts"], "elo_pre": pre}
         )
 
     keyed = turns.withWatermark("ts", watermark).groupBy("conv_id")
-    return keyed.applyInPandasWithState(
-        kernel, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    timeout = (
+        GroupStateTimeout.NoTimeout if ttl_ms is None else GroupStateTimeout.EventTimeTimeout
     )
+    return keyed.applyInPandasWithState(kernel, out_schema, state_schema, "append", timeout)
