@@ -190,6 +190,9 @@ def elo_pairwise(
     init: float = DEFAULT_INIT,
     manifest=None,
     manifest_prefix: str = "elo",
+    snapshot_spill_dir: str | None = None,
+    spill_every_buckets: int = 256,
+    spill_stats: dict | None = None,
 ) -> DataFrame:
     """Two-sided Elo via driver-coordinated synchronous time-bucket loop.
 
@@ -234,12 +237,44 @@ def elo_pairwise(
     bucket update would silently DISCARD all but one of the duplicate
     entity's deltas — so it fails fast with the offending bucket and entity
     named (round-3 advice; mirrors the NULL-bucket guard).
+
+    Snapshot spilling (round-4 VERDICT item 4): without it, the per-bucket
+    touched-entity snapshots accumulate on the driver across ALL buckets
+    until the final ``createDataFrame`` — bounded for the documented
+    interacting-league scope, but at a 100x bucket count the honest move is
+    ``snapshot_spill_dir``: every ``spill_every_buckets`` completed buckets
+    the accumulated snapshot rows are flushed to a parquet chunk under that
+    directory and dropped from driver memory; scoring unions the chunks
+    with the in-memory remainder. Driver memory is then bounded by ONE
+    chunk (spill_every_buckets x touched-entities) regardless of history
+    length. The directory must be on storage every executor can read
+    (HDFS/S3/shared fs) — a driver-local temp dir only works in local mode.
+    ``spill_stats`` (tests/observability): when passed a dict, it receives
+    ``{"chunks": n, "max_rows_in_memory": m}`` after the scan.
     """
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if spill_every_buckets <= 0:
+        raise ValueError(f"spill_every_buckets must be positive, got {spill_every_buckets}")
 
     ratings: dict = {}
     snap_rows: list[tuple] = []  # (bucket, entity, pre-bucket rating)
+    _spill = {"chunks": 0, "max_rows_in_memory": 0}
+
+    def spill_snapshots() -> None:
+        """Flush accumulated snapshot rows to one parquet chunk, free driver
+        memory. No-op without a spill dir or with nothing buffered."""
+        if snapshot_spill_dir is None or not snap_rows:
+            return
+        spark.createDataFrame(
+            pd.DataFrame(snap_rows, columns=["__sb", "__se", "__sr"]),
+            schema="__sb string, __se string, __sr double",
+        ).write.mode("overwrite").parquet(
+            f"{snapshot_spill_dir}/chunk_{_spill['chunks']:06d}"
+        )
+        _spill["chunks"] += 1
+        snap_rows.clear()
+
     done_buckets: list[str] = []
     if manifest is not None:
         prefix = f"{manifest_prefix}:"
@@ -254,6 +289,9 @@ def elo_pairwise(
                 snap_rows.append((b, ent, float(r)))
         if entries:
             ratings = {ent: float(r) for ent, r in entries[-1]["ratings"].items()}
+        # resume seeding can itself carry a long history of snapshots —
+        # spill it before the live scan so the memory bound holds on resume
+        spill_snapshots()
 
     # bucket keeps its NATIVE type: range partitioning / iteration order must
     # be the true time order (a string cast would sort int bucket 10 < 2)
@@ -322,6 +360,7 @@ def elo_pairwise(
                 {"ratings": dict(ratings), "touched": touched, "n_matches": len(matches)},
             )
 
+    buckets_since_spill = 0
     for row in grouped.toLocalIterator(prefetchPartitions=False):
         if row["__b"] is None:
             # groupBy keeps a NULL-bucket group, which sorts first under
@@ -331,11 +370,22 @@ def elo_pairwise(
                 "filter or fill bucket values before rating"
             )
         flush(row["__b"], [(m["__h"], m["__a"], m["__o"]) for m in row["__ms"]])
+        _spill["max_rows_in_memory"] = max(_spill["max_rows_in_memory"], len(snap_rows))
+        buckets_since_spill += 1
+        if buckets_since_spill >= spill_every_buckets:
+            spill_snapshots()
+            buckets_since_spill = 0
 
     snap = spark.createDataFrame(
         pd.DataFrame(snap_rows, columns=["__sb", "__se", "__sr"]),
         schema="__sb string, __se string, __sr double",
     )
+    if _spill["chunks"]:
+        snap = spark.read.parquet(
+            *[f"{snapshot_spill_dir}/chunk_{i:06d}" for i in range(_spill["chunks"])]
+        ).unionByName(snap)
+    if spill_stats is not None:
+        spill_stats.update(_spill)
     b_str = F.col(bucket_col).cast("string")
     h_snap = snap.select(
         F.col("__sb").alias("__hb"), F.col("__se").alias("__he"), F.col("__sr").alias("elo_pre_home")
