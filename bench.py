@@ -158,6 +158,22 @@ def run_headline(cores: int) -> dict:
         2, lambda: backfill_features(wide_in, spec=wide_spec, rank_metric=None)
     )
 
+    # event-store width: 190 metrics x all families + EWMA (the reference's
+    # 476-column event store, SURVEY §2.5; round-4 verdict item 5). Plan
+    # still one hash(conv_id) exchange (tests/test_wide_spec.py); this line
+    # measures the codegen-fallback + 950-window-column cost at full width.
+    extra190 = {
+        f"w{i:03d}": (F.xxhash64("conv_id", "turn_idx", F.lit(i)) % 1000).cast("double")
+        for i in range(187)
+    }
+    spec190 = FeatureSpec(
+        metrics=("chars", "words", "is_tool") + tuple(f"w{i:03d}" for i in range(187))
+    )
+    wide190_in = transcripts.withColumns(extra190)
+    timings["flagship_wide190"] = best_of(
+        2, lambda: backfill_features(wide190_in, spec=spec190, rank_metric=None)
+    )
+
     for name in HEADLINE:
         timings[name] = best_of(2, lambda q=QUERIES[name]: q(spark, SF_DIR))
 

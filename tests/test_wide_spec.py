@@ -106,6 +106,60 @@ def test_wide_spec_with_ewma_stays_one_exchange(wide_input):
     assert exchanges == ["conv_id"], exchanges
 
 
+N_METRICS_EVENT = 190  # the reference EVENT store: 476 cols ≈ 190 metrics
+
+
+def test_event_store_width_190_metrics(spark, transcripts_sdf):
+    """Round-4 VERDICT item 5 — event-store width. 190 metrics x 5 window
+    families + 190 EWMAs ≈ 1140 computed columns: past ~100 window exprs
+    JVM codegen cliffs (64KB method bodies, constant-pool pressure) force
+    per-operator fallback, and wide withColumns stacks tempt Catalyst into
+    re-partitioning per batch. Pins: (a) the plan still carries exactly ONE
+    hash(conv_id) exchange end-to-end including the EWMA barrier, (b)
+    execution completes green, (c) a spot metric's lag/expanding values
+    survive the width bit-exactly."""
+    from nfl_feature_store_spark.operators.ewma import with_ewma
+
+    df = sessionize(with_turn_metrics(transcripts_sdf))
+    extra = {
+        f"w{i:03d}": (F.xxhash64("conv_id", "turn_idx", F.lit(i)) % 1000).cast("double")
+        for i in range(N_METRICS_EVENT - 3)
+    }
+    wide = df.withColumns(extra)
+    metrics = ("chars", "words", "is_tool") + tuple(
+        f"w{i:03d}" for i in range(N_METRICS_EVENT - 3)
+    )
+    spec = FeatureSpec(metrics=metrics)
+    feats = compile_window_features(wide, spec)
+    feats = with_ewma(feats, metrics=metrics, span=10, presorted=True)
+    assert sum(c.startswith("ewma_") for c in feats.columns) == N_METRICS_EVENT
+    n_rows = feats.count()  # execution must survive codegen fallback
+    assert n_rows == transcripts_sdf.count()
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert exchanges == ["conv_id"], exchanges
+
+    conv = wide.select("conv_id").first()["conv_id"]
+    got = (
+        feats.filter(F.col("conv_id") == conv)
+        .select("turn_idx", "ts", "w123", "last_w123", "expanding_w123", "ewma_w123")
+        .toPandas()
+        .sort_values(["ts", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    x = got["w123"].astype(float)
+    np.testing.assert_allclose(got["last_w123"], x.shift(1), rtol=0, atol=0, equal_nan=True)
+    np.testing.assert_allclose(
+        got["expanding_w123"], x.shift(1).expanding().mean(), rtol=1e-12, equal_nan=True
+    )
+    np.testing.assert_allclose(
+        got["ewma_w123"],
+        x.shift(1).ewm(span=10, adjust=False).mean(),
+        rtol=1e-12,
+        equal_nan=True,
+    )
+
+
 def test_full_flagship_exactly_two_exchanges(spark, transcripts_sdf):
     """Regression pin for the pipeline's exchange budget: the COMPLETE
     flagship (dedup -> metrics -> sessionize -> windows -> EWMA -> rank)
