@@ -241,3 +241,42 @@ def test_ivf_topk_recall_vs_bruteforce(spark, clustered_embeddings):
     # exact-cosine contract on shared pairs
     merged = ivf2.merge(exact, on=["qid", "neighbor_id"], suffixes=("_a", "_e"))
     np.testing.assert_allclose(merged["cosine_a"], merged["cosine_e"], rtol=1e-12)
+
+
+def test_recall_floors_on_sf001_corpus(spark):
+    """Round-4 VERDICT item 7: measured recall@k for the q39/q47 parameter
+    choices against the UNCAPPED exact baseline on the real sf0.01
+    embeddings — near-isotropic noise, ANN's adversarial regime (full table
+    in BENCH/BASELINE.md). Floors sit under the measured values with margin;
+    the ordering pins (IVF > multiprobe-LSH > plain LSH at these params, and
+    more probes > fewer) are the load-bearing claims."""
+    from pyspark.sql import functions as F
+
+    from nfl_feature_store_spark.functions.ann_constants import IVF_CENTROIDS_K16_DIM64
+    from nfl_feature_store_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 50).select(F.col("vec_id").alias("qid"), "embedding")
+    exact = cosine_topk(emb, q, k=3).toPandas()
+
+    lsh = lsh_topk(emb, q, k=3, bits=4).toPandas()
+    lsh_mp = lsh_topk(emb, q, k=3, bits=4, probes=2).toPandas()
+    ivf4 = ivf_topk(emb, q, k=3, n_probe=4, centroids=IVF_CENTROIDS_K16_DIM64).toPandas()
+    ivf8 = ivf_topk(emb, q, k=3, n_probe=8, centroids=IVF_CENTROIDS_K16_DIM64).toPandas()
+
+    r_lsh = float(np.mean(_recalls(exact, lsh)))
+    r_mp = float(np.mean(_recalls(exact, lsh_mp)))
+    r_ivf4 = float(np.mean(_recalls(exact, ivf4)))
+    r_ivf8 = float(np.mean(_recalls(exact, ivf8)))
+
+    # measured 0.093 / 0.300 / 0.713 / 0.927 — deterministic pipeline, but
+    # keep margin for future testdata regeneration
+    assert r_lsh >= 0.05
+    assert r_mp >= 0.20
+    assert r_ivf4 >= 0.60
+    assert r_ivf8 >= 0.80
+    # orderings: multiprobe recovers hyperplane near-misses; the
+    # data-adaptive quantizer beats random hyperplanes on unclustered data
+    assert r_mp > r_lsh
+    assert r_ivf4 > r_mp
+    assert r_ivf8 > r_ivf4
