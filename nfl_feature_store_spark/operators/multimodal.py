@@ -5,9 +5,12 @@ The Spark-side plumbing (schemas, partition sizing, UDF signatures, batch
 shapes) is real and tested. Codecs: AUDIO and IMAGE have REAL decoders for
 one public format each — a pure-numpy RIFF/WAVE PCM parser (``_decode_wav``:
 8/16/32-bit int and float32 PCM, any channel count, -> FEATURE_DIM
-spectral-band log-energy features via rfft) and a netpbm PPM/PGM parser
+spectral-band log-energy features via rfft), a netpbm PPM/PGM parser
 (``_decode_ppm``: binary P5/P6, maxval <= 65535, -> geometry + luminance
-histogram features) — so both paths are honest end-to-end on real bytes;
+histogram features), and a Windows BMP parser (``_decode_bmp``:
+BITMAPINFOHEADER BI_RGB 24/32-bit, bottom-up or top-down, same feature
+layout as PPM so formats are cross-comparable) — these paths are honest
+end-to-end on real bytes;
 other image codecs and video remain DISCLOSED STUBS (``_fake_decode`` —
 the sandbox image has no codec libraries; swap in PIL/ffmpeg in
 production). The batch
@@ -226,6 +229,82 @@ def _decode_ppm(payload: bytes) -> np.ndarray | None:
         return None
 
 
+def make_bmp_bytes(width: int = 32, height: int = 24, top_down: bool = False, bits: int = 24) -> bytes:
+    """Synthesize a REAL uncompressed Windows BMP (BITMAPINFOHEADER, BI_RGB,
+    24-bit BGR or 32-bit BGRA) — the same deterministic R/G gradient fixture
+    as :func:`make_ppm_bytes`, so cross-format decoder parity is testable."""
+    import struct
+
+    x = np.linspace(0, 255, width, dtype="float64")
+    y = np.linspace(0, 255, height, dtype="float64")
+    r = np.tile(x, (height, 1))
+    g = np.tile(y[:, None], (1, width))
+    b = np.full((height, width), 127, dtype="float64")
+    if bits == 24:
+        px = np.stack([b, g, r], axis=-1).astype("u1")  # BGR order
+    elif bits == 32:
+        a = np.full((height, width), 255, dtype="float64")
+        px = np.stack([b, g, r, a], axis=-1).astype("u1")  # BGRA
+    else:
+        raise ValueError(f"bits must be 24 or 32, got {bits}")
+    row_bytes = width * (bits // 8)
+    pad = (-row_bytes) % 4
+    rows = px if top_down else px[::-1]  # BMP default raster is bottom-up
+    raster = b"".join(bytes(rows[i]) + b"\x00" * pad for i in range(height))
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, (-height if top_down else height), 1, bits, 0,
+        len(raster), 2835, 2835, 0, 0,
+    )
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(raster), 0, 0, off)
+    return hdr + info + raster
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray | None:
+    """Pure-numpy Windows BMP parser (BITMAPINFOHEADER-or-later, BI_RGB
+    uncompressed, 24-bit BGR / 32-bit BGRA, bottom-up or top-down raster,
+    4-byte row padding) -> the SAME feature layout as :func:`_decode_ppm`
+    ([w, h, aspect, mean luminance] + luminance histogram), or None when
+    the payload is not parseable BMP (caller falls back to the stub)."""
+    import struct
+
+    try:
+        if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+            return None
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size = struct.unpack_from("<I", payload, 14)[0]
+        if hdr_size < 40:  # BITMAPCOREHEADER not supported
+            return None
+        w, h_raw = struct.unpack_from("<ii", payload, 18)
+        planes, bits = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if planes != 1 or compression != 0 or bits not in (24, 32) or w <= 0 or h_raw == 0:
+            return None
+        top_down = h_raw < 0
+        h = -h_raw if top_down else h_raw
+        ch = bits // 8
+        row_bytes = w * ch
+        stride = row_bytes + ((-row_bytes) % 4)
+        need = stride * h
+        raster = payload[data_off : data_off + need]
+        if len(raster) < need:
+            return None
+        rows = np.frombuffer(raster, dtype="u1").reshape(h, stride)[:, :row_bytes]
+        px = rows.reshape(h, w, ch).astype("float64") / 255.0
+        if not top_down:
+            px = px[::-1]
+        # BGR(A) channel order -> luminance
+        lum = px[:, :, 2] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 0] * 0.114
+        n_bins = FEATURE_DIM - 4
+        hist, _ = np.histogram(lum, bins=n_bins, range=(0.0, 1.0))
+        hist = hist / lum.size
+        head = [float(w), float(h), w / h, float(lum.mean())]
+        return np.concatenate([head, hist]).astype("float32")
+    except (struct.error, ValueError):
+        return None
+
+
 def _fake_decode(payload: bytes) -> np.ndarray:
     """Deterministic stand-in for a real decoder: derives a FEATURE_DIM
     float vector from the payload bytes. Replace with a real codec call
@@ -250,6 +329,8 @@ def decode_stub(payload: bytes, kind: str) -> np.ndarray:
             return real
     elif kind == "image":
         real = _decode_ppm(payload)
+        if real is None:
+            real = _decode_bmp(payload)
         if real is not None:
             return real
     return _fake_decode(payload)

@@ -262,3 +262,71 @@ def test_real_ppm_decode_end_to_end(spark):
     assert (f16[0], f16[1]) == (8.0, 8.0)
     # unparseable codec falls back to the disclosed stub (tiles raw bytes)
     assert abs(out.loc[2, "feature"][0] - 0x89 / 255.0) < 1e-6
+
+
+def test_real_bmp_decode_end_to_end(spark):
+    """Second real image codec (round-5): uncompressed Windows BMP (24-bit
+    BGR bottom-up, 32-bit BGRA top-down) through the same Arrow-batched
+    plumbing. The BMP fixture paints the identical gradient as the PPM
+    fixture, so the two decoders must produce (near-)identical features —
+    cross-format parity is the strongest correctness check available
+    without a reference codec library."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from nfl_feature_store_spark.operators.multimodal import (
+        FEATURE_DIM,
+        _decode_bmp,
+        _decode_ppm,
+        make_bmp_bytes,
+        make_ppm_bytes,
+    )
+
+    # decoder-level cross-format parity on the shared gradient
+    fb = _decode_bmp(make_bmp_bytes(32, 24))
+    fp = _decode_ppm(make_ppm_bytes(32, 24, maxval=255))
+    assert fb is not None and fp is not None
+    np.testing.assert_allclose(fb, fp, atol=1e-3)
+    # top-down raster and 32-bit BGRA must decode to the same image
+    np.testing.assert_allclose(
+        _decode_bmp(make_bmp_bytes(32, 24, top_down=True)), fb, atol=1e-6
+    )
+    np.testing.assert_allclose(_decode_bmp(make_bmp_bytes(32, 24, bits=32)), fb, atol=1e-6)
+    # malformed/unsupported BMPs reject cleanly (caller falls back to stub)
+    assert _decode_bmp(b"BMtooshort") is None
+    assert _decode_bmp(make_bmp_bytes(8, 8)[:40]) is None
+
+    rows = pd.DataFrame(
+        {
+            "media_id": [0, 1],
+            "kind": ["image", "image"],
+            "payload": [make_bmp_bytes(40, 10), make_bmp_bytes(16, 16, bits=32)],
+            "mime": ["image/bmp"] * 2,
+            "width": [40, 16],
+            "height": [10, 16],
+            "duration_ms": [None, None],
+        }
+    )
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("duration_ms", T.IntegerType()),
+        ]
+    )
+    out = (
+        extract_media_features(spark.createDataFrame(rows, schema=schema))
+        .toPandas()
+        .set_index("media_id")
+    )
+    f = out.loc[0, "feature"]
+    assert len(f) == FEATURE_DIM
+    assert (f[0], f[1]) == (40.0, 10.0) and abs(f[2] - 4.0) < 1e-5
+    assert 0.4 < f[3] < 0.6
+    assert abs(sum(f[4:]) - 1.0) < 1e-4
+    assert (out.loc[1, "feature"][0], out.loc[1, "feature"][1]) == (16.0, 16.0)
