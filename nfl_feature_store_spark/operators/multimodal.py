@@ -7,11 +7,13 @@ one public format each — a pure-numpy RIFF/WAVE PCM parser (``_decode_wav``:
 8/16/32-bit int and float32 PCM, any channel count, -> FEATURE_DIM
 spectral-band log-energy features via rfft), a netpbm PPM/PGM parser
 (``_decode_ppm``: binary P5/P6, maxval <= 65535, -> geometry + luminance
-histogram features), and a Windows BMP parser (``_decode_bmp``:
+histogram features), a Windows BMP parser (``_decode_bmp``:
 BITMAPINFOHEADER BI_RGB 24/32-bit, bottom-up or top-down, same feature
-layout as PPM so formats are cross-comparable) — these paths are honest
-end-to-end on real bytes;
-other image codecs and video remain DISCLOSED STUBS (``_fake_decode`` —
+layout as PPM so formats are cross-comparable), and VIDEO an uncompressed
+AVI parser (``_decode_avi``: RIFF 'AVI ', 24-bit DIB frames ->
+geometry/duration/motion temporal features) — all four kinds honest
+end-to-end on real bytes; compressed codecs (PNG/JPEG/H.264/...) remain
+DISCLOSED STUBS (``_fake_decode`` —
 the sandbox image has no codec libraries; swap in PIL/ffmpeg in
 production). The batch
 contract is the part that matters at 100 TB: media bytes never pass through
@@ -305,6 +307,118 @@ def _decode_bmp(payload: bytes) -> np.ndarray | None:
         return None
 
 
+def make_avi_bytes(
+    width: int = 24, height: int = 16, n_frames: int = 8, fps: int = 10
+) -> bytes:
+    """Synthesize a REAL uncompressed AVI (RIFF 'AVI ', 'hdrl' with
+    avih/strh/strf, 'movi' with one '00db' DIB chunk per frame) — a
+    deterministic moving horizontal gradient, so frame count, duration and
+    inter-frame motion are physically known for the decoder test."""
+    import struct
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(fourcc: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + data)
+
+    frames = []
+    x = np.arange(width, dtype="float64")
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    for f in range(n_frames):
+        # gradient shifts right one pixel per frame -> constant known motion
+        lum = ((x + f) % width) / max(width - 1, 1) * 255.0
+        row = np.repeat(lum[:, None], 3, axis=1).astype("u1")  # gray: B=G=R
+        img = np.tile(row[None, :, :], (height, 1, 1))
+        raster = b"".join(bytes(img[i]) + b"\x00" * pad for i in range(height - 1, -1, -1))
+        frames.append(chunk(b"00db", raster))
+    usec = 1_000_000 // fps
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        usec, 0, 0, 0, n_frames, 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n_frames, 0, 0, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(frames[0]) - 8, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_avi(payload: bytes) -> np.ndarray | None:
+    """Pure-numpy AVI parser (RIFF 'AVI ', uncompressed 24-bit DIB '00db'/
+    '00dc' frames, bottom-up rasters) -> FEATURE_DIM features, or None when
+    the payload is not parseable uncompressed AVI (caller falls back to the
+    stub).
+
+    Features: [width, height, n_frames, duration_s, mean luminance,
+    motion (mean abs inter-frame luminance delta)] + (FEATURE_DIM - 6)
+    bins of the per-frame mean-luminance histogram — real temporal
+    statistics from real bytes.
+    """
+    import struct
+
+    try:
+        if payload is None or len(payload) < 24 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+            return None
+        usec_per_frame = n_total = w = h = None
+        bits = compression = None
+        frames: list[bytes] = []
+
+        def walk(buf: bytes, pos: int, end: int) -> None:
+            nonlocal usec_per_frame, n_total, w, h, bits, compression
+            while pos + 8 <= end:
+                fourcc = buf[pos : pos + 4]
+                size = struct.unpack_from("<I", buf, pos + 4)[0]
+                body_start = pos + 8
+                body_end = min(body_start + size, end)
+                if fourcc == b"LIST":
+                    walk(buf, body_start + 4, body_end)
+                elif fourcc == b"avih" and size >= 40:
+                    vals = struct.unpack_from("<10I", buf, body_start)
+                    usec_per_frame, n_total, w, h = vals[0], vals[4], vals[8], vals[9]
+                elif fourcc == b"strf" and size >= 40:
+                    bits = struct.unpack_from("<H", buf, body_start + 14)[0]
+                    compression = struct.unpack_from("<I", buf, body_start + 16)[0]
+                elif fourcc[2:] in (b"db", b"dc") and size > 0:
+                    frames.append(buf[body_start:body_end])
+                pos = body_start + size + (size % 2)
+
+        walk(payload, 12, len(payload))
+        if not frames or not w or not h or bits != 24 or compression not in (0, None):
+            return None
+        row_bytes = w * 3
+        stride = row_bytes + ((-row_bytes) % 4)
+        need = stride * h
+        lums = []
+        for fr in frames:
+            if len(fr) < need:
+                return None
+            rows = np.frombuffer(fr[:need], dtype="u1").reshape(h, stride)[:, :row_bytes]
+            px = rows.reshape(h, w, 3).astype("float64") / 255.0
+            lum = px[::-1, :, 2] * 0.299 + px[::-1, :, 1] * 0.587 + px[::-1, :, 0] * 0.114
+            lums.append(lum)
+        stack = np.stack(lums)  # (frames, h, w)
+        n = len(lums)
+        duration = n * (usec_per_frame or 0) / 1e6
+        motion = float(np.mean(np.abs(np.diff(stack, axis=0)))) if n > 1 else 0.0
+        per_frame = stack.mean(axis=(1, 2))
+        n_bins = FEATURE_DIM - 6
+        hist, _ = np.histogram(per_frame, bins=n_bins, range=(0.0, 1.0))
+        hist = hist / max(n, 1)
+        head = [float(w), float(h), float(n), duration, float(stack.mean()), motion]
+        return np.concatenate([head, hist]).astype("float32")
+    except (struct.error, ValueError):
+        return None
+
+
 def _fake_decode(payload: bytes) -> np.ndarray:
     """Deterministic stand-in for a real decoder: derives a FEATURE_DIM
     float vector from the payload bytes. Replace with a real codec call
@@ -331,6 +445,10 @@ def decode_stub(payload: bytes, kind: str) -> np.ndarray:
         real = _decode_ppm(payload)
         if real is None:
             real = _decode_bmp(payload)
+        if real is not None:
+            return real
+    elif kind == "video":
+        real = _decode_avi(payload)
         if real is not None:
             return real
     return _fake_decode(payload)

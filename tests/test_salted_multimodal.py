@@ -330,3 +330,66 @@ def test_real_bmp_decode_end_to_end(spark):
     assert 0.4 < f[3] < 0.6
     assert abs(sum(f[4:]) - 1.0) < 1e-4
     assert (out.loc[1, "feature"][0], out.loc[1, "feature"][1]) == (16.0, 16.0)
+
+
+def test_real_avi_decode_end_to_end(spark):
+    """Video tier gets a REAL parser (round-5): uncompressed-DIB AVI through
+    the Arrow-batched plumbing. The fixture is a gradient translating one
+    pixel per frame, so frame count, duration, and inter-frame motion are
+    physically known quantities the decoder must recover."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from nfl_feature_store_spark.operators.multimodal import (
+        FEATURE_DIM,
+        _decode_avi,
+        make_avi_bytes,
+    )
+
+    f = _decode_avi(make_avi_bytes(width=24, height=16, n_frames=8, fps=10))
+    assert f is not None and len(f) == FEATURE_DIM
+    w, h, n, dur, mean_lum, motion = f[:6]
+    assert (w, h, n) == (24.0, 16.0, 8.0)
+    assert abs(dur - 0.8) < 1e-6  # 8 frames @ 10 fps
+    assert 0.4 < mean_lum < 0.6  # gradient mean ~ 0.5
+    # one-pixel shift of a /(width-1) gradient: mean |delta| ~ 2*mu*(1-mu)
+    # of the wrap-around sawtooth — must be clearly nonzero and bounded
+    assert 0.01 < motion < 0.2
+    static = _decode_avi(make_avi_bytes(width=24, height=16, n_frames=1, fps=10))
+    assert static[5] == 0.0  # single frame: no motion
+    assert _decode_avi(b"RIFFxxxxAVI but not really") is None
+    assert _decode_avi(make_avi_bytes()[:40]) is None
+
+    rows = pd.DataFrame(
+        {
+            "media_id": [0, 1],
+            "kind": ["video", "video"],
+            "payload": [make_avi_bytes(32, 8, n_frames=5, fps=25), b"\x00\x01\x02mpeg?"],
+            "mime": ["video/x-msvideo", "video/mp4"],
+            "width": [32, None],
+            "height": [8, None],
+            "duration_ms": [200, None],
+        }
+    )
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("duration_ms", T.IntegerType()),
+        ]
+    )
+    out = (
+        extract_media_features(spark.createDataFrame(rows, schema=schema))
+        .toPandas()
+        .set_index("media_id")
+    )
+    g = out.loc[0, "feature"]
+    assert (g[0], g[1], g[2]) == (32.0, 8.0, 5.0)
+    assert abs(g[3] - 0.2) < 1e-6  # 5 frames @ 25 fps
+    # unparseable video falls back to the disclosed stub
+    assert abs(out.loc[1, "feature"][0] - 0x00 / 255.0) < 1e-6
