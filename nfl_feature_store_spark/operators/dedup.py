@@ -51,6 +51,14 @@ MD5_LOWER64_SQL = (
 )
 
 
+def md5_low64_unsigned_sql(expr: str) -> str:
+    """SQL fragment: unsigned decimal(20,0) value of md5(expr)'s low 8 bytes
+    little-endian — the portable bucket hash (== DuckDB
+    ``md5_number_lower(expr)``) used by sampling/split/packing operators.
+    ``expr`` must be a SQL string expression."""
+    return _MD5_LOWER64_U.replace("md5(t)", f"md5({expr})")
+
+
 def _check_hash_fn(hash_fn: str) -> None:
     if hash_fn not in ("xxhash64", "md5"):
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")

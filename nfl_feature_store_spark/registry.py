@@ -1705,6 +1705,146 @@ FROM fine f JOIN coarse c ON f.user_id = c.user_id AND f.fs <= c.ce AND c.cs <= 
 """
 
 
+#: DuckDB fragment == operators/sampling.py _bucket1000 / shard hash:
+#: md5_number_lower(key || '#seed') is bit-identical to the engine's
+#: conv(reversed-hex) unsigned decimal (tests/test_portable_hash.py)
+def _duck_bucket(key_sql: str, seed: int, mod: int) -> str:
+    return f"md5_number_lower({key_sql} || '#' || '{seed}') % {mod}"
+
+
+def q51_deterministic_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-assembly tier: deterministic portable-hash sample — the
+    re-derivable, engine-portable replacement for rand()-based sampling
+    (operators/sampling.py). 25% of documents by doc_id hash, seed 7."""
+    from nfl_feature_store_spark.operators.sampling import deterministic_sample
+
+    docs = load_table(spark, sf, "documents")
+    return deterministic_sample(docs, key_col="doc_id", permille=250, seed=7).select(
+        "doc_id", F.col("bucket").cast("long").alias("bucket")
+    )
+
+
+Q51_SQL = f"""
+SELECT doc_id, {_duck_bucket("doc_id::VARCHAR", 7, 1000)}::BIGINT AS bucket
+FROM documents WHERE {_duck_bucket("doc_id::VARCHAR", 7, 1000)} < 250
+"""
+
+
+def q52_entity_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity-level train/val/test split (80/10/10 by entity hash): every
+    row of an entity lands in the same split — the grouping-leakage guard
+    for conversation data (operators/sampling.py entity_split)."""
+    from nfl_feature_store_spark.operators.sampling import entity_split
+
+    ev = load_table(spark, sf, "events")
+    out = entity_split(ev, entity_col="user_id", seed=7)
+    return out.groupBy("split").agg(
+        F.countDistinct("user_id").cast("long").alias("n_entities"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+
+
+Q52_SQL = f"""
+WITH b AS (
+  SELECT user_id, {_duck_bucket("user_id::VARCHAR", 7, 1000)} AS bucket FROM events
+), s AS (
+  SELECT user_id,
+         CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
+  FROM b
+)
+SELECT split, count(DISTINCT user_id)::BIGINT AS n_entities, count(*)::BIGINT AS n_rows
+FROM s GROUP BY 1
+"""
+
+
+def q53_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/eval contamination check: eval documents (doc_id >= 250)
+    near-duplicating any training document (doc_id < 250) via the banded
+    MinHash-LSH candidate join restricted across the split boundary
+    (operators/sampling.py contamination_report; portable md5 family)."""
+    from nfl_feature_store_spark.operators.sampling import contamination_report
+
+    docs = load_table(spark, sf, "documents")
+    return contamination_report(
+        docs.filter(F.col("doc_id") < 250),
+        docs.filter(F.col("doc_id") >= 250),
+        id_col="doc_id",
+        text_col="text",
+        min_est_jaccard=0.5,
+    )
+
+
+Q53_SQL = """
+WITH d AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                                      i -> substring(t, i, 5))) AS s
+  FROM d
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+                        j -> list_min(list_transform(s, x -> md5(x || '#' || j::VARCHAR)))) AS sig
+  FROM sh
+), bnd AS (
+  SELECT doc_id, sig, r.b AS band,
+         md5(array_to_string(sig[r.b * 4 + 1 : r.b * 4 + 4], '|')) AS bucket
+  FROM sig, range(0, 4) r(b)
+), p AS (
+  SELECT DISTINCT e.doc_id AS eval_id, t.doc_id AS train_id, e.sig AS se, t.sig AS st
+  FROM bnd e JOIN bnd t ON e.band = t.band AND e.bucket = t.bucket
+  WHERE e.doc_id >= 250 AND t.doc_id < 250
+), j AS (
+  SELECT eval_id, train_id,
+         coalesce(list_sum(list_transform(range(1, 17),
+                                          i -> CASE WHEN se[i] = st[i] THEN 1 ELSE 0 END)), 0) / 16.0
+           AS est_jaccard
+  FROM p
+)
+SELECT eval_id, count(*)::BIGINT AS n_train_collisions, max(est_jaccard) AS max_est_jaccard
+FROM j WHERE est_jaccard >= 0.5 GROUP BY 1
+"""
+
+
+def q54_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing: documents sharded by hash, packed into 2000-token
+    contiguous-offset budgets within each shard (operators/sampling.py
+    pack_sequences; whitespace token counts, portable)."""
+    from nfl_feature_store_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(
+            "size(filter(split(lower(coalesce(text, '')), '\\\\s+'), t -> t != ''))"
+        ).cast("long").alias("n_tokens"),
+    )
+    out = pack_sequences(docs, id_col="doc_id", token_col="n_tokens", budget=2000, n_shards=8, seed=7)
+    return out.select(
+        "doc_id", "n_tokens", F.col("shard").cast("long").alias("shard"), "pack_id", "pack_offset"
+    )
+
+
+Q54_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                         t -> t != ''))::BIGINT AS n_tokens,
+         {_duck_bucket("doc_id::VARCHAR", 7, 8)}::BIGINT AS shard
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens, shard,
+         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM d
+)
+SELECT doc_id, n_tokens, shard,
+       floor(start / 2000)::BIGINT AS pack_id,
+       (start - floor(start / 2000)::BIGINT * 2000)::BIGINT AS pack_offset
+FROM c
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1756,6 +1896,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_time_rollup": q48_time_rollup,
     "q49_asof_tolerance": q49_asof_tolerance,
     "q50_interval_overlap": q50_interval_overlap,
+    "q51_deterministic_sample": q51_deterministic_sample,
+    "q52_entity_split": q52_entity_split,
+    "q53_contamination": q53_contamination,
+    "q54_pack_sequences": q54_pack_sequences,
 }
 
 ORACLES: dict[str, str] = {
@@ -1813,4 +1957,9 @@ ORACLES: dict[str, str] = {
     # (functions/ann_constants.py); recall floors stay pytest-refereed
     "q39_lsh_topk": _q39_sql(),
     "q47_ivf_topk": _q47_sql(),
+    # q51-q54 (round-5 dataset-assembly tier): portable md5 bucket hash
+    "q51_deterministic_sample": Q51_SQL,
+    "q52_entity_split": Q52_SQL,
+    "q53_contamination": Q53_SQL,
+    "q54_pack_sequences": Q54_SQL,
 }
