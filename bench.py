@@ -82,6 +82,7 @@ HEADLINE = [
     "q27_session_avg_two_anchor",  # two-anchor window
     "q28_ewma",              # applyInPandas kernel
     "q29_elo",               # sequential rating kernel
+    "q53_contamination",     # cross-split LSH candidate join (round 5)
 ]
 
 
