@@ -5,6 +5,12 @@ from nfl_feature_store_spark.operators.rank import max_rank, rank_features
 from nfl_feature_store_spark.operators.ewma import with_ewma, with_ewma_jvm
 from nfl_feature_store_spark.operators.elo import elo_per_entity, elo_pairwise
 from nfl_feature_store_spark.operators.rangejoin import interval_overlap_join
+from nfl_feature_store_spark.operators.sampling import (
+    contamination_report,
+    deterministic_sample,
+    entity_split,
+    pack_sequences,
+)
 
 __all__ = [
     "FeatureSpec",
@@ -19,4 +25,8 @@ __all__ = [
     "elo_per_entity",
     "elo_pairwise",
     "interval_overlap_join",
+    "deterministic_sample",
+    "entity_split",
+    "contamination_report",
+    "pack_sequences",
 ]
