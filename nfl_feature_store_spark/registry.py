@@ -1845,6 +1845,33 @@ FROM c
 """
 
 
+def q55_grouped_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact grouped quantiles (p50/p95/p99 of event value per event_type) —
+    the latency-rollup shape. `percentile` is Spark's EXACT linear-
+    interpolation aggregate (bit-matches DuckDB quantile_cont); it buffers
+    each group's values, so at 10^12 rows the scale path is
+    `approx_percentile` (t-digest, one pass, partial-aggregatable) with
+    this exact form kept for verification runs — same pattern as the
+    md5-vs-xxhash64 hash family split."""
+    ev = load_table(spark, sf, "events")
+    aggs = [
+        (F.floor(F.expr(f"percentile(value, {q})") * 1000000 + F.lit(0.5)) / 1000000.0).alias(
+            f"p{int(q * 100)}"
+        )
+        for q in (0.5, 0.95, 0.99)
+    ]
+    return ev.groupBy("event_type").agg(F.count("*").cast("long").alias("n"), *aggs)
+
+
+Q55_SQL = """
+SELECT event_type, count(*)::BIGINT AS n,
+       floor(quantile_cont(value, 0.5)  * 1000000 + 0.5) / 1000000 AS p50,
+       floor(quantile_cont(value, 0.95) * 1000000 + 0.5) / 1000000 AS p95,
+       floor(quantile_cont(value, 0.99) * 1000000 + 0.5) / 1000000 AS p99
+FROM events GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1900,6 +1927,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_entity_split": q52_entity_split,
     "q53_contamination": q53_contamination,
     "q54_pack_sequences": q54_pack_sequences,
+    "q55_grouped_quantiles": q55_grouped_quantiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -1962,4 +1990,5 @@ ORACLES: dict[str, str] = {
     "q52_entity_split": Q52_SQL,
     "q53_contamination": Q53_SQL,
     "q54_pack_sequences": Q54_SQL,
+    "q55_grouped_quantiles": Q55_SQL,
 }
