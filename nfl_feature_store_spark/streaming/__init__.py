@@ -1,4 +1,13 @@
 from nfl_feature_store_spark.streaming.sessions import streaming_session_aggregates
-from nfl_feature_store_spark.streaming.stateful import streaming_elo, streaming_ewma
+from nfl_feature_store_spark.streaming.stateful import (
+    streaming_elo,
+    streaming_ewma,
+    streaming_window_features,
+)
 
-__all__ = ["streaming_session_aggregates", "streaming_ewma", "streaming_elo"]
+__all__ = [
+    "streaming_session_aggregates",
+    "streaming_ewma",
+    "streaming_elo",
+    "streaming_window_features",
+]

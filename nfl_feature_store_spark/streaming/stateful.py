@@ -129,6 +129,136 @@ def streaming_ewma(
     return keyed.applyInPandasWithState(kernel, out_schema, state_schema, "append", timeout)
 
 
+def streaming_window_features(
+    turns: DataFrame,
+    metrics: tuple[str, ...] = ("chars",),
+    roll_window: int = 10,
+    form_window: int = 3,
+    watermark: str = "2 hours",
+    state_ttl: str | None = "30 days",
+) -> DataFrame:
+    """Streaming counterpart of the batch window compiler's bounded
+    families: ``last_{m}`` (lag-1), ``form_{m}`` (mean of previous
+    ≤form_window), ``roll{k}_{m}`` (mean of previous ≤roll_window), and
+    ``expanding_{m}`` — per conversation, strictly-past-only, identical
+    semantics to ``compile_window_features`` (pytest-pinned batch parity).
+
+    State per conversation is BOUNDED: a ring of the last ``roll_window``
+    raw values per metric (the form window is a suffix of it) plus the
+    expanding (count, sum) pair — O(metrics x roll_window) doubles,
+    independent of conversation length; same eviction contract as
+    :func:`streaming_ewma` (``state_ttl``). The unbounded-memory families
+    (EWMA, session-avg) live in their own kernels — EWMA carries O(1)
+    state in :func:`streaming_ewma`; the two-anchor session-avg needs the
+    batch path (its anchor may reach arbitrarily far back).
+
+    Ordering contract as :func:`streaming_ewma`: ts-ordered per
+    conversation across micro-batches; within a batch the kernel sorts.
+    """
+    k = roll_window
+    if form_window > roll_window:
+        raise ValueError(
+            f"form_window ({form_window}) must be <= roll_window ({roll_window}) — "
+            "the form frame is served from the roll ring"
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+        ]
+        + [
+            T.StructField(f"{fam}_{m}", T.DoubleType(), True)
+            for m in metrics
+            for fam in ("last", "form", f"roll{k}", "expanding")
+        ]
+    )
+    # per metric: ring of last k values (fixed-size array, NULL-padded),
+    # ring fill count, expanding count, expanding sum
+    state_schema = T.StructType(
+        [
+            f
+            for m in metrics
+            for f in (
+                T.StructField(f"ring_{m}", T.ArrayType(T.DoubleType()), True),
+                T.StructField(f"n_{m}", T.LongType(), True),
+                T.StructField(f"cnt_{m}", T.LongType(), True),
+                T.StructField(f"sum_{m}", T.DoubleType(), True),
+            )
+        ]
+    )
+    ttl_ms = _ttl_ms(state_ttl)
+
+    def kernel(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            st = list(state.get)
+        else:
+            st = [None, 0, 0, 0.0] * len(metrics)
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "turn_idx"], kind="mergesort", ignore_index=True
+        )
+        out = {"conv_id": pdf["conv_id"], "turn_idx": pdf["turn_idx"], "ts": pdf["ts"]}
+        for j, m in enumerate(metrics):
+            ring, n, cnt, tot = st[4 * j : 4 * j + 4]
+            prior = list(ring) if ring is not None else []
+            cnt, tot = int(cnt or 0), float(tot or 0.0)
+            vals = pdf[m].astype("float64").to_numpy()
+            nb, npr = len(vals), len(prior)
+            # vectorized over the batch (no per-row Python): prepend the
+            # ring of ≤k prior values, compute lagged rolling frames on the
+            # combined series, slice off the prior prefix. The bounded
+            # frames (form ≤ roll ≤ k) never reach past the ring, so the
+            # truncation is exact.
+            s = pd.Series(np.concatenate([np.asarray(prior, dtype="float64"), vals]))
+            lagged = s.shift(1)
+            last_c = lagged.to_numpy()[npr:]
+            form_c = (
+                lagged.rolling(form_window, min_periods=1).mean().to_numpy()[npr:]
+            )
+            roll_c = lagged.rolling(k, min_periods=1).mean().to_numpy()[npr:]
+            # first-ever turn: no prior value at all -> NULL (rolling over
+            # the all-NaN head yields NaN already; this is exact)
+            # expanding mean over FULL history: scalar (cnt, tot) carry +
+            # in-batch cumulative sums of the strictly-prior values.
+            # NULL-aware like Spark's avg: NaN values join the ring (lag-1
+            # of a NULL row is NULL) but never the count/sum
+            valid = ~np.isnan(vals)
+            prior_cumsum = np.concatenate(
+                [[0.0], np.cumsum(np.where(valid, vals, 0.0))[:-1]]
+            )
+            prior_cumcnt = np.concatenate([[0], np.cumsum(valid.astype("int64"))[:-1]])
+            denom = cnt + prior_cumcnt
+            exp_c = np.where(denom > 0, (tot + prior_cumsum) / np.maximum(denom, 1), np.nan)
+            new_ring = np.concatenate([np.asarray(prior, dtype="float64"), vals])[-k:]
+            st[4 * j : 4 * j + 4] = [
+                [float(x) for x in new_ring],
+                int(min(npr + nb, k)),
+                cnt + int(valid.sum()),
+                tot + float(np.nansum(vals)),
+            ]
+            out[f"last_{m}"] = last_c
+            out[f"form_{m}"] = form_c
+            out[f"roll{k}_{m}"] = roll_c
+            out[f"expanding_{m}"] = exp_c
+        state.update(tuple(st))
+        if ttl_ms is not None:
+            state.setTimeoutTimestamp(int(pdf["ts"].max().value // 1_000_000) + ttl_ms)
+        yield pd.DataFrame(out)
+
+    keyed = turns.withWatermark("ts", watermark).groupBy("conv_id")
+    timeout = (
+        GroupStateTimeout.NoTimeout if ttl_ms is None else GroupStateTimeout.EventTimeTimeout
+    )
+    return keyed.applyInPandasWithState(kernel, out_schema, state_schema, "append", timeout)
+
+
 def streaming_elo(
     turns: DataFrame,
     outcome_col: str = "outcome",

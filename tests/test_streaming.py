@@ -242,3 +242,69 @@ def test_streaming_elo_state_carries_across_batches(spark, tmp_path_factory):
     )
     assert len(got) == len(exp)
     np.testing.assert_allclose(got["elo_pre"].to_numpy(), exp["elo_pre"].to_numpy(), rtol=1e-12)
+
+
+def test_streaming_window_features_match_batch(spark, tmp_path_factory):
+    """streaming_window_features (round-5): the bounded window families
+    (lag-1, form-3, roll-10, expanding) computed under
+    applyInPandasWithState with a ring-buffer state must equal the batch
+    window compiler when the stream splits MID-conversation — including
+    NULL metric values (ring carries them, expanding skips them)."""
+    import numpy as np
+
+    from nfl_feature_store_spark.operators.windows import FeatureSpec, compile_window_features
+    from nfl_feature_store_spark.streaming.stateful import streaming_window_features
+
+    rng = np.random.default_rng(59)
+    rows = []
+    base = pd.Timestamp("2026-05-01")
+    for c in range(5):
+        for j in range(36):
+            v = float(rng.integers(1, 300))
+            if rng.random() < 0.1:
+                v = float("nan")  # NULL metric mid-stream
+            rows.append((f"wf{c}", j, "user", "x", "", base + pd.Timedelta(seconds=c * 11 + j * 60), v))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts", "chars"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp, chars double"
+    d = str(tmp_path_factory.mktemp("wf_src"))
+    spark.createDataFrame(pdf[pdf.turn_idx < 13], schema=schema).coalesce(1).write.mode("overwrite").parquet(d + "/f1")
+    spark.createDataFrame(pdf[(pdf.turn_idx >= 13) & (pdf.turn_idx < 27)], schema=schema).coalesce(1).write.mode("overwrite").parquet(d + "/f2")
+    spark.createDataFrame(pdf[pdf.turn_idx >= 27], schema=schema).coalesce(1).write.mode("overwrite").parquet(d + "/f3")
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d + "/f*")
+    out = streaming_window_features(stream, metrics=("chars",))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_wf"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wf_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.sql("select * from wf_out")
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(pdf)
+
+    spec = FeatureSpec(metrics=("chars",), session_anchored=False)
+    exp = (
+        compile_window_features(spark.createDataFrame(pdf, schema=schema), spec)
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    for col in ("last_chars", "form_chars", "roll10_chars", "expanding_chars"):
+        np.testing.assert_allclose(
+            got[col].to_numpy(dtype=float),
+            exp[col].to_numpy(dtype=float),
+            rtol=1e-12,
+            equal_nan=True,
+            err_msg=col,
+        )
