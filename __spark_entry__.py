@@ -47,11 +47,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable SQL equivalents — 48 of 50, including the sequential
-    recursions (recursive CTEs) and the MinHash/SimHash/winnowing pipelines
-    (portable md5 hash family, replayed with DuckDB list algebra). Omitted
-    only for q39/q47, whose random-hyperplane/KMeans families are genuinely
-    non-SQL (rows-only checks, recall pytest-refereed)."""
+    """DuckDB-runnable SQL equivalents for EVERY query — including the
+    sequential recursions (recursive CTEs), the MinHash/SimHash/winnowing
+    pipelines (portable md5 hash family replayed with DuckDB list algebra),
+    the ANN families (frozen hyperplane/centroid constants embedded as
+    DOUBLE[] literals on both engines), and connected components (recursive
+    label propagation to fixpoint)."""
     from nfl_feature_store_spark.registry import ORACLES
 
     return ORACLES

@@ -5,6 +5,10 @@ from nfl_feature_store_spark.operators.rank import max_rank, rank_features
 from nfl_feature_store_spark.operators.ewma import with_ewma, with_ewma_jvm
 from nfl_feature_store_spark.operators.elo import elo_per_entity, elo_pairwise
 from nfl_feature_store_spark.operators.rangejoin import interval_overlap_join
+from nfl_feature_store_spark.operators.components import (
+    connected_components,
+    near_dup_components,
+)
 from nfl_feature_store_spark.operators.sampling import (
     contamination_report,
     deterministic_sample,
@@ -25,6 +29,8 @@ __all__ = [
     "elo_per_entity",
     "elo_pairwise",
     "interval_overlap_join",
+    "connected_components",
+    "near_dup_components",
     "deterministic_sample",
     "entity_split",
     "contamination_report",

@@ -1872,6 +1872,61 @@ FROM events GROUP BY 1
 """
 
 
+def q56_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CLUSTERING: LSH candidate pairs (portable-md5 family, the
+    q30 pipeline) thresholded at est_jaccard >= 0.5, closed transitively via
+    alternating large-star/small-star connected components, every document
+    labeled (component = min reachable doc_id, is_canonical = keep flag).
+    The step the pair-emitting dedup tier was missing: if A~B and B~C, one
+    of {A,B,C} survives, not two. Oracle: DuckDB recursive-CTE label
+    propagation over the identical pair set."""
+    from nfl_feature_store_spark.operators.components import near_dup_components
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 1000)
+    return near_dup_components(
+        docs, id_col="doc_id", text_col="text", min_jaccard=0.5, hash_fn="md5"
+    )
+
+
+# pair pipeline identical to Q30_SQL; then: symmetrize -> recursive label
+# propagation (UNION dedups => fixpoint) -> min reachable id per doc
+Q56_SQL = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents WHERE doc_id < 1000
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                                      i -> substring(t, i, 5))) AS s
+  FROM d
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+                        j -> list_min(list_transform(s, x -> md5(x || '#' || j::VARCHAR)))) AS sig
+  FROM sh
+), bnd AS (
+  SELECT doc_id, sig, r.b AS band,
+         md5(array_to_string(sig[r.b * 4 + 1 : r.b * 4 + 4], '|')) AS bucket
+  FROM sig, range(0, 4) r(b)
+), p AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, a.sig AS sa, c.sig AS sc
+  FROM bnd a JOIN bnd c ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+), pe AS (
+  SELECT id_a, id_b FROM p
+  WHERE coalesce(list_sum(list_transform(range(1, 17),
+                                         i -> CASE WHEN sa[i] = sc[i] THEN 1 ELSE 0 END)), 0) / 16.0
+        >= 0.5
+), e AS (
+  SELECT id_a AS s, id_b AS t2 FROM pe UNION SELECT id_b, id_a FROM pe
+), r AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM d
+  UNION
+  SELECT e.t2, r.lbl FROM r JOIN e ON e.s = r.id
+)
+SELECT id AS doc_id, min(lbl) AS component, min(lbl) = id AS is_canonical
+FROM r GROUP BY id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1928,6 +1983,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_contamination": q53_contamination,
     "q54_pack_sequences": q54_pack_sequences,
     "q55_grouped_quantiles": q55_grouped_quantiles,
+    "q56_dedup_components": q56_dedup_components,
 }
 
 ORACLES: dict[str, str] = {
@@ -1991,4 +2047,5 @@ ORACLES: dict[str, str] = {
     "q53_contamination": Q53_SQL,
     "q54_pack_sequences": Q54_SQL,
     "q55_grouped_quantiles": Q55_SQL,
+    "q56_dedup_components": Q56_SQL,
 }
