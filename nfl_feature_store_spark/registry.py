@@ -1927,6 +1927,65 @@ FROM r GROUP BY id
 """
 
 
+def q57_tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (tf * ln(N/df), q31's tokenizer).
+    Corpus statistics shape: explode -> two partial-aggregatable counts ->
+    broadcast the tiny (term, df) side back -> per-doc window. Rank runs on
+    the ROUNDED score with a term-asc tie-break so ordering is engine-
+    deterministic (no raw-double comparisons in ORDER BY)."""
+    docs = load_table(spark, sf, "documents")
+    d = docs.select("doc_id", F.lower(F.coalesce("text", F.lit(""))).alias("t"))
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("t", r"\s+"), lambda x: x != "")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    s = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            _r(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        s.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+    )
+
+
+Q57_SQL = """
+WITH d AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+), tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(t, '\\s+'), x -> x != '')) AS term
+  FROM d
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*)::BIGINT AS n FROM d
+), s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         floor(tf.tf * ln(n.n::DOUBLE / dfreq.df) * 1000000 + 0.5) / 1000000 AS tfidf
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, rnk FROM (
+  SELECT s.*, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term ASC)::BIGINT AS rnk
+  FROM s
+) WHERE rnk <= 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1984,6 +2043,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_pack_sequences": q54_pack_sequences,
     "q55_grouped_quantiles": q55_grouped_quantiles,
     "q56_dedup_components": q56_dedup_components,
+    "q57_tfidf_topterms": q57_tfidf_topterms,
 }
 
 ORACLES: dict[str, str] = {
@@ -2048,4 +2108,5 @@ ORACLES: dict[str, str] = {
     "q54_pack_sequences": Q54_SQL,
     "q55_grouped_quantiles": Q55_SQL,
     "q56_dedup_components": Q56_SQL,
+    "q57_tfidf_topterms": Q57_SQL,
 }

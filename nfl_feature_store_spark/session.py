@@ -49,6 +49,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # zstd halves shuffle bytes vs the lz4 default on text-heavy
+        # transcript payloads (measured 1.97x: 6.62 vs 13.05 MB on the
+        # flagship, wall equal-or-faster — scripts/codec_ab.py, BENCH/
+        # BASELINE.md round-5). At cluster scale shuffle bytes are network
+        # traffic; override via extra_conf if a workload proves CPU-bound.
+        .config("spark.io.compression.codec", "zstd")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
