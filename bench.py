@@ -83,6 +83,7 @@ HEADLINE = [
     "q28_ewma",              # applyInPandas kernel
     "q29_elo",               # sequential rating kernel
     "q53_contamination",     # cross-split LSH candidate join (round 5)
+    "q57_tfidf_topterms",    # explode + double agg + broadcast-back + window (round 5)
 ]
 
 
