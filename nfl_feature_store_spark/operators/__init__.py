@@ -5,6 +5,7 @@ from nfl_feature_store_spark.operators.rank import max_rank, rank_features
 from nfl_feature_store_spark.operators.ewma import with_ewma, with_ewma_jvm
 from nfl_feature_store_spark.operators.elo import elo_per_entity, elo_pairwise
 from nfl_feature_store_spark.operators.rangejoin import interval_overlap_join
+from nfl_feature_store_spark.operators.quantiles import grouped_quantiles
 from nfl_feature_store_spark.operators.components import (
     connected_components,
     near_dup_components,
@@ -30,6 +31,7 @@ __all__ = [
     "elo_pairwise",
     "interval_overlap_join",
     "connected_components",
+    "grouped_quantiles",
     "near_dup_components",
     "deterministic_sample",
     "entity_split",

@@ -1853,18 +1853,17 @@ def q55_grouped_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     `approx_percentile` (t-digest, one pass, partial-aggregatable) with
     this exact form kept for verification runs — same pattern as the
     md5-vs-xxhash64 hash family split."""
+    from nfl_feature_store_spark.operators.quantiles import grouped_quantiles
+
     ev = load_table(spark, sf, "events")
-    aggs = [
-        (F.floor(F.expr(f"percentile(value, {q})") * 1000000 + F.lit(0.5)) / 1000000.0).alias(
-            f"p{int(q * 100)}"
-        )
-        for q in (0.5, 0.95, 0.99)
-    ]
-    return ev.groupBy("event_type").agg(F.count("*").cast("long").alias("n"), *aggs)
+    out = grouped_quantiles(ev, ["event_type"], "value", (0.5, 0.95, 0.99), mode="exact")
+    return out.select(
+        "event_type", "n", *[_r(p, 6).alias(p) for p in ("p50", "p95", "p99")]
+    )
 
 
 Q55_SQL = """
-SELECT event_type, count(*)::BIGINT AS n,
+SELECT event_type, count(value)::BIGINT AS n,
        floor(quantile_cont(value, 0.5)  * 1000000 + 0.5) / 1000000 AS p50,
        floor(quantile_cont(value, 0.95) * 1000000 + 0.5) / 1000000 AS p95,
        floor(quantile_cont(value, 0.99) * 1000000 + 0.5) / 1000000 AS p99
