@@ -55,6 +55,10 @@ def get_spark(
         # BASELINE.md round-5). At cluster scale shuffle bytes are network
         # traffic; override via extra_conf if a workload proves CPU-bound.
         .config("spark.io.compression.codec", "zstd")
+        # parquet sinks likewise: 15% smaller than snappy on the flagship
+        # feature table at wall-neutral cost (scripts/parquet_codec_ab.py) —
+        # and synthetic low-entropy text understates the real-corpus gain
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
