@@ -1985,6 +1985,42 @@ SELECT doc_id, term, tf, df, tfidf, rnk FROM (
 """
 
 
+def q58_token_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus token-length distribution in power-of-2 buckets — the
+    pretraining-corpus length profile (doc length governs packing yield and
+    truncation loss). Bucket = floor(log2(n_tokens)) computed EXACTLY via
+    binary-string length (length(bin(n)) - 1) on both engines — no float
+    log2 whose ULP disagreements at powers of two would flip floor()."""
+    docs = load_table(spark, sf, "documents")
+    toks = F.filter(F.split(F.lower(F.coalesce("text", F.lit(""))), r"\s+"), lambda x: x != "")
+    d = docs.select(F.size(toks).alias("n_tok"))
+    bucket = (F.length(F.bin(F.greatest(F.col("n_tok"), F.lit(1)))) - 1).cast("long")
+    return (
+        d.groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n_tok").cast("long").alias("min_tok"),
+            F.max("n_tok").cast("long").alias("max_tok"),
+            _r(F.avg("n_tok"), 6).alias("avg_tok"),
+        )
+    )
+
+
+Q58_SQL = """
+WITH d AS (
+  SELECT len(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                         x -> x != ''))::BIGINT AS n_tok
+  FROM documents
+)
+SELECT (length(bin(greatest(n_tok, 1))) - 1)::BIGINT AS log2_bucket,
+       count(*)::BIGINT AS n_docs,
+       min(n_tok)::BIGINT AS min_tok,
+       max(n_tok)::BIGINT AS max_tok,
+       floor(avg(n_tok) * 1000000 + 0.5) / 1000000 AS avg_tok
+FROM d GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2043,6 +2079,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_grouped_quantiles": q55_grouped_quantiles,
     "q56_dedup_components": q56_dedup_components,
     "q57_tfidf_topterms": q57_tfidf_topterms,
+    "q58_token_histogram": q58_token_histogram,
 }
 
 ORACLES: dict[str, str] = {
@@ -2108,4 +2145,5 @@ ORACLES: dict[str, str] = {
     "q55_grouped_quantiles": Q55_SQL,
     "q56_dedup_components": Q56_SQL,
     "q57_tfidf_topterms": Q57_SQL,
+    "q58_token_histogram": Q58_SQL,
 }
