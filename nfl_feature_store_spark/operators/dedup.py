@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nfl_feature_store_spark.plans.layout import spread
+
 #: SQL fragment: unsigned decimal(20,0) value of md5(t)'s low 8 bytes
 #: little-endian (== DuckDB md5_number_lower(t)); `t` is the lambda var
 _MD5_LOWER64_U = (
@@ -68,7 +70,8 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep the lowest id per normalized-text fingerprint."""
     from nfl_feature_store_spark.functions.text import doc_fingerprint
 
-    fp = df.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+    src = spread(df.select(F.col(id_col), F.col(text_col)), id_col)
+    fp = src.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
     return fp.groupBy("fingerprint").agg(
         F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies")
     )
@@ -115,8 +118,12 @@ def minhash_signature(
             f"transform(__sh, s -> md5(concat(s, '#', '{j}')))" for j in range(num_hashes)
         ]
     sig = F.array(*[F.array_min(F.expr(e)) for e in per_seed])
+    # the signature projection is the corpus's heaviest per-row compute
+    # (num_hashes hash calls per shingle); spread a low-parallelism scan
+    # BEFORE it so the work uses every core (plans/layout.py — no-op at scale)
+    src = spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
     return (
-        df.select(F.col(id_col).alias("id"), _shingles(text_col, shingle_k).alias("__sh"))
+        src.select("id", _shingles(text_col, shingle_k).alias("__sh"))
         .select("id", sig.alias("sig"))
     )
 
@@ -200,6 +207,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, hash_fn: str = "xxhash64"
     # n_tokens 0) so Spark and the DuckDB oracle agree on NULL semantics
     # (round-4 advice: previously NULL text yielded NULL simhash64 here but
     # 0 in the coalescing oracle)
+    df = spread(df.select(F.col(id_col), F.col(text_col)), id_col)
     src = f"coalesce({text_col}, '')"
     tokens = F.expr(f"filter(split(lower({src}), '\\\\s+'), t -> t != '')")
     votes = F.expr(

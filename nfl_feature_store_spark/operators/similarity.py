@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from nfl_feature_store_spark.plans.layout import spread
+
 
 def _as_double(col: str):
     return F.expr(f"transform({col}, x -> cast(x AS double))")
@@ -53,9 +55,11 @@ def cosine_topk(
     corpus streams through one stage — no shuffle until the final per-query
     window over k*|queries| rows.
     """
-    c = corpus.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")).withColumn(
-        "cn", _norm("cv")
-    )
+    # spread a low-parallelism corpus scan before the dot-product stage so
+    # the brute-force rerank uses every core (plans/layout.py — no-op at scale)
+    c = spread(
+        corpus.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")), "cid"
+    ).withColumn("cn", _norm("cv"))
     q = queries.select(F.col(query_id_col).alias("qid"), _as_double(vec_col).alias("qv")).withColumn(
         "qn", _norm("qv")
     )
@@ -115,7 +119,7 @@ def lsh_topk(
     corpus. Recall floors are pytest-pinned
     (tests/test_similarity_retrieval.py)."""
     c = (
-        corpus.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
+        spread(corpus.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")), "cid")
         .withColumn("cn", _norm("cv"))
         .withColumn("bucket", lsh_bucket("cv", bits))
     )
@@ -210,9 +214,9 @@ def ivf_topk(
     Scores are exact cosines — only the candidate set is approximate, same
     contract as :func:`lsh_topk`. Recall floors pytest-pinned.
     """
-    c = corpus.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")).withColumn(
-        "cn", _norm("cv")
-    )
+    c = spread(
+        corpus.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")), "cid"
+    ).withColumn("cn", _norm("cv"))
     if centroids is not None:
         n_centroids = len(centroids)
         selfdots = [_seq_selfdot([float(x) for x in v]) for v in centroids]

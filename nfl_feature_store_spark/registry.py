@@ -586,10 +586,13 @@ def q24_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup detection: 3-gram character-shingle Jaccard over candidate
     pairs that share >=1 shingle (bounded to doc_id < 300 so the pairwise
     stage is scale-independent)."""
-    docs = (
+    from nfl_feature_store_spark.plans.layout import spread
+
+    docs = spread(
         load_table(spark, sf, "documents")
         .filter(F.col("doc_id") < 300)
-        .select("doc_id", F.lower(F.col("text")).alias("t"))
+        .select("doc_id", F.lower(F.col("text")).alias("t")),
+        "doc_id",
     )
     shingles = docs.select(
         "doc_id",
@@ -1429,8 +1432,9 @@ def q44_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     (count AND an order-insensitive digest of the fingerprint set). The
     shared-substring guarantee stays pytest-pinned on the xxhash64 default."""
     from nfl_feature_store_spark.functions.text import winnow_fingerprints
+    from nfl_feature_store_spark.plans.layout import spread
 
-    docs = load_table(spark, sf, "documents")
+    docs = spread(load_table(spark, sf, "documents").select("doc_id", "text"), "doc_id")
     fps = docs.select(
         "doc_id", winnow_fingerprints("text", k=8, w=4, hash_fn="md5").alias("fps")
     )
@@ -1932,8 +1936,12 @@ def q57_tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
     broadcast the tiny (term, df) side back -> per-doc window. Rank runs on
     the ROUNDED score with a term-asc tie-break so ordering is engine-
     deterministic (no raw-double comparisons in ORDER BY)."""
+    from nfl_feature_store_spark.plans.layout import spread
+
     docs = load_table(spark, sf, "documents")
-    d = docs.select("doc_id", F.lower(F.coalesce("text", F.lit(""))).alias("t"))
+    d = spread(
+        docs.select("doc_id", F.lower(F.coalesce("text", F.lit(""))).alias("t")), "doc_id"
+    )
     toks = d.select(
         "doc_id",
         F.explode(F.filter(F.split("t", r"\s+"), lambda x: x != "")).alias("term"),
