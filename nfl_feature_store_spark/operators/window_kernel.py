@@ -1,0 +1,277 @@
+"""Vectorized Arrow kernel for the full window-family stack + EWMA.
+
+Why this exists (guide §4.2 "do the heavy lifting in native code"): the
+expression-mode compiler (operators/windows.py) emits ~5 window functions
+per metric, and Spark's WindowExec evaluates every window function with a
+per-function-per-row interpreted-processor cost. At the reference's
+190-metric event-store width that is ~950 window functions — measured 464
+CPU-seconds for a 100k-row sf0.1 backfill (~24 s wall on 32 cores), all
+fixed evaluator overhead, no spill. This kernel computes the identical
+features with NumPy shifted-array algebra plus one sequential scan inside
+the ``mapInArrow`` stage the pipeline ALREADY runs for EWMA — so wide specs
+cross the Python boundary once (and with a NARROWER input than before: the
+kernel input is base+metrics, where the old EWMA hop shipped base+metrics
++950 window columns).
+
+Bitwise contract: every output equals expression mode bit-for-bit — pinned
+by tests/test_window_kernel_parity.py via ``exceptAll`` on corpora with
+NULL metrics, multi-session entities and single-row entities. The
+implementation preserves Spark's exact accumulation semantics:
+
+* sliding frames (form/roll) sum the valid values oldest-to-newest with
+  first-valid initialization (no ``0.0 +`` seeding, so ``-0.0`` and NaN
+  propagate exactly as Spark's SlidingWindowFunctionFrame does);
+* running sums/counts and the two-anchor session bases use one sequential
+  pass with the same first-valid initialization;
+* EWMA reuses the exact pandas grouped-cython calls of
+  ``operators/ewma.with_ewma`` (q28-oracle-pinned).
+
+Known representational caveats, shared with the existing EWMA kernel's
+Arrow transport: a literal float NaN VALUE in a metric column is
+indistinguishable from NULL on the pandas EWM path (the engine's metrics
+are never literal NaN), and outputs render NaN as NULL
+(``from_pandas=True``), matching the mapInPandas transport convention.
+
+Scale notes: the kernel is partition-at-a-time over the same
+hash(entity)-clustered, entity-sorted layout every window family already
+requires — no new exchange (plan-asserted in tests/test_wide_spec.py). Peak
+memory per task is rows_per_partition x (metrics x ~9) float64 columns; the
+``max_partition_rows`` tripwire (same contract as with_ewma) fails fast
+with guidance instead of OOMing on a pathologically hot entity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from nfl_feature_store_spark.operators.windows import FeatureSpec
+
+
+def _family_names(spec: FeatureSpec) -> list[str]:
+    names: list[str] = []
+    for m in spec.metrics:
+        if spec.lag:
+            names.append(f"last_{m}")
+        if spec.form_window:
+            names.append(f"form_{m}")
+        for k in spec.roll_windows:
+            names.append(f"roll{k}_{m}")
+        if spec.expanding:
+            names.append(f"expanding_{m}")
+    if spec.session_anchored:
+        names += [f"session_avg_{m}" for m in spec.metrics]
+    return names
+
+
+def window_features_ewma_kernel(
+    df: DataFrame,
+    spec: FeatureSpec = FeatureSpec(),
+    ewma_span: int | None = 10,
+    ewma_prefix: str = "ewma_",
+    presorted: bool = True,
+    num_partitions: int | None = None,
+    max_partition_rows: int | None = None,
+) -> DataFrame:
+    """Attach every configured window family (and optionally ``ewma_{m}``)
+    in ONE ``mapInArrow`` stage — output schema and values identical to
+    ``compile_window_features`` (+ ``with_ewma``)."""
+    metrics = list(spec.metrics)
+    if len(set(metrics)) != len(metrics):
+        raise ValueError(f"window kernel metrics contains duplicates: {metrics}")
+    keys = [spec.entity_col, *spec.order_cols] + (
+        [spec.session_col] if spec.session_anchored else []
+    )
+    overlap = set(metrics) & set(keys)
+    if overlap:
+        raise ValueError(
+            f"window kernel metrics {sorted(overlap)} overlap the key columns {keys}"
+        )
+    out_names = _family_names(spec)
+    if ewma_span:
+        out_names += [f"{ewma_prefix}{m}" for m in metrics]
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(n, T.DoubleType(), True) for n in out_names]
+    )
+    order = list(spec.order_cols)
+    entity_col, session_col = spec.entity_col, spec.session_col
+    session_anchored = spec.session_anchored
+    lag_on, form_k, roll_ks, expanding_on = (
+        spec.lag,
+        spec.form_window,
+        list(spec.roll_windows),
+        spec.expanding,
+    )
+
+    def kernel(batches) -> Iterator:
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        blist = []
+        total = 0
+        for b in batches:
+            total += b.num_rows
+            if max_partition_rows is not None and total > max_partition_rows:
+                raise ValueError(
+                    f"window kernel partition holds > max_partition_rows="
+                    f"{max_partition_rows} rows; a hot entity this size belongs in "
+                    "operators.salted, or raise num_partitions"
+                )
+            blist.append(b)
+        if not blist:
+            return
+        tbl = pa.Table.from_batches(blist)
+        n = tbl.num_rows
+        M = len(metrics)
+
+        need = list(dict.fromkeys([entity_col] + order + ([session_col] if session_anchored else [])))
+        sub = tbl.select(need).to_pandas()
+        if not presorted:
+            sort_idx = sub.sort_values([entity_col] + order, kind="mergesort").index.to_numpy()
+            tbl = tbl.take(pa.array(sort_idx))
+            sub = sub.iloc[sort_idx].reset_index(drop=True)
+
+        # values as float64 with NaN at NULLs + the true Arrow null masks
+        # (a NaN VALUE stays "valid" and poisons sums, exactly like Spark)
+        X = np.empty((n, M), dtype=np.float64)
+        VALID = np.empty((n, M), dtype=bool)
+        for j, m in enumerate(metrics):
+            col = tbl.column(m)
+            if col.type != pa.float64():
+                col = pc.cast(col, pa.float64())
+            X[:, j] = col.to_numpy(zero_copy_only=False)
+            VALID[:, j] = ~pc.is_null(col).to_numpy(zero_copy_only=False)
+
+        ent = sub[entity_col].to_numpy()
+        new_ent = np.empty(n, dtype=bool)
+        new_ent[0] = True
+        new_ent[1:] = ent[1:] != ent[:-1]
+        # rows since the entity's first row (bounds which shifts stay in-entity)
+        pos = np.arange(n) - np.maximum.accumulate(np.where(new_ent, np.arange(n), 0))
+
+        out: dict[str, np.ndarray] = {}
+
+        def shifted(arr: np.ndarray, j: int) -> np.ndarray:
+            s = np.empty_like(arr)
+            s[j:] = arr[:-j] if j else arr
+            s[:j] = 0
+            return s
+
+        # ---- lag-1 family
+        if lag_on or session_anchored or ewma_span:
+            Xs1 = shifted(X, 1)
+            V1 = shifted(VALID, 1) & (pos >= 1)[:, None]
+        if lag_on:
+            L = np.where(V1, Xs1, np.nan)
+            for j, m in enumerate(metrics):
+                out[f"last_{m}"] = L[:, j]
+
+        # ---- sliding frames: oldest-to-newest chain with first-valid init
+        def sliding_avg(k: int) -> np.ndarray:
+            acc = np.zeros((n, M), dtype=np.float64)
+            init = np.zeros((n, M), dtype=bool)
+            cnt = np.zeros((n, M), dtype=np.int64)
+            for j in range(k, 0, -1):  # frame iterates ascending row order
+                v = shifted(VALID, j) & (pos >= j)[:, None]
+                xs = shifted(X, j)
+                acc = np.where(v, np.where(init, acc + xs, xs), acc)
+                init |= v
+                cnt += v
+            with np.errstate(invalid="ignore", divide="ignore"):
+                return np.where(cnt > 0, acc / cnt, np.nan)
+
+        if form_k:
+            A = sliding_avg(form_k)
+            for j, m in enumerate(metrics):
+                out[f"form_{m}"] = A[:, j]
+        for k in roll_ks:
+            A = sliding_avg(k)
+            for j, m in enumerate(metrics):
+                out[f"roll{k}_{m}"] = A[:, j]
+
+        # ---- sequential pass: expanding sums/counts + two-anchor session
+        # bases. Same first-valid initialization as Spark's Sum aggregate.
+        if expanding_on or session_anchored:
+            if session_anchored:
+                sess = sub[session_col].to_numpy()
+                isf = new_ent.copy()
+                isf[1:] |= sess[1:] != sess[:-1]
+            sincl = np.empty((n, M), dtype=np.float64)   # sum of prior valids (0.0-coalesced)
+            cincl = np.empty((n, M), dtype=np.int64)     # count of prior valids
+            if session_anchored:
+                base_s = np.empty((n, M), dtype=np.float64)
+                base_c = np.empty((n, M), dtype=np.float64)
+            acc = np.zeros(M, dtype=np.float64)
+            cnt = np.zeros(M, dtype=np.int64)
+            bs_cur = np.full(M, np.nan)
+            bc_cur = np.full(M, np.nan)
+            for t in range(n):
+                if new_ent[t]:
+                    acc[:] = 0.0
+                    cnt[:] = 0
+                    bs_cur[:] = np.nan
+                    bc_cur[:] = np.nan
+                sincl[t] = acc
+                cincl[t] = cnt
+                if session_anchored:
+                    if isf[t]:
+                        base_s[t] = bs_cur
+                        base_c[t] = bc_cur
+                        xv = np.where(V1[t], Xs1[t], 0.0)
+                        bs_cur = acc - xv
+                        bc_cur = (cnt - V1[t]).astype(np.float64)
+                    else:
+                        base_s[t] = bs_cur
+                        base_c[t] = bc_cur
+                v = VALID[t]
+                first = cnt == 0
+                acc = np.where(v, np.where(first, X[t], acc + X[t]), acc)
+                cnt = cnt + v
+            if expanding_on:
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    E = np.where(cincl > 0, sincl / cincl, np.nan)
+                for j, m in enumerate(metrics):
+                    out[f"expanding_{m}"] = E[:, j]
+            if session_anchored:
+                num = sincl - np.where(np.isnan(base_s), 0.0, base_s)
+                den = cincl - np.where(np.isnan(base_c), 0.0, base_c)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    S = np.where(den > 0, num / den, np.nan)
+                for j, m in enumerate(metrics):
+                    out[f"session_avg_{m}"] = S[:, j]
+
+        # ---- EWMA: exact same pandas grouped-cython calls as with_ewma
+        if ewma_span:
+            spdf = pd.DataFrame(
+                {m: pd.array(X[:, j]).to_numpy() for j, m in enumerate(metrics)}
+            )
+            # restore NULLs the float64 cast kept as values (none in practice;
+            # NaN/NULL conflation documented above) then group per entity
+            gkey = pd.Series(ent)
+            shifted_pdf = spdf.groupby(gkey, sort=False, dropna=False)[metrics].shift(1)
+            ewm = (
+                shifted_pdf.groupby(gkey, sort=False, dropna=False)
+                .ewm(span=ewma_span, adjust=False)
+                .mean()
+            )
+            ewm.index = ewm.index.get_level_values(-1)
+            for m in metrics:
+                out[f"{ewma_prefix}{m}"] = ewm[m].reindex(range(n)).to_numpy()
+
+        res = tbl
+        for name in out_names:
+            res = res.append_column(
+                name, pa.array(out[name], type=pa.float64(), from_pandas=True)
+            )
+        yield from res.to_batches()
+
+    if presorted:
+        clustered = df
+    else:
+        n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        clustered = df.repartition(int(n), entity_col).sortWithinPartitions(entity_col, *order)
+    return clustered.mapInArrow(kernel, schema=out_schema)

@@ -24,6 +24,18 @@ from nfl_feature_store_spark.operators.sessionize import DEFAULT_GAP_S, sessioni
 from nfl_feature_store_spark.operators.windows import FeatureSpec, compile_window_features
 
 
+#: metric count from which the vectorized Arrow window kernel is selected
+#: even when it must INTRODUCE the Python boundary (no EWMA stage to merge
+#: into). WindowExec pays a per-window-function-per-row interpreted-
+#: evaluator cost (~5 functions/metric), while the kernel's NumPy passes
+#: amortize across all metrics; measured at sf0.1 the kernel already wins
+#: at width 4 (0.98s vs 1.59s) and the gap grows ~linearly with width
+#: (width 190: 5.4s vs 74.6s incl. plan build) — see OPTIMIZATION_r06.md.
+#: When the pandas EWMA stage runs anyway, the boundary is already paid and
+#: the kernel is selected at EVERY width (width 3 flagship: 1.1s vs 1.8s).
+WINDOW_KERNEL_MIN_METRICS = 4
+
+
 def backfill_features(
     transcripts: DataFrame,
     spec: FeatureSpec = FeatureSpec(),
@@ -33,12 +45,22 @@ def backfill_features(
     rank_bucket: str = "day",
     dedup: bool = True,
     ewma_engine: str = "pandas",
+    window_engine: str = "auto",
 ) -> DataFrame:
     """transcripts (conv_id, turn_idx, role, text, tool, ts) → feature table.
 
     Output grain: one row per (conv_id, ts, turn_idx) carrying the original
     text (per-turn text equality invariant) plus every strictly-past feature
     family per metric.
+
+    ``window_engine``: ``"expr"`` compiles the window families as Spark
+    window expressions (operators/windows.py) with the EWMA kernel appended;
+    ``"kernel"`` computes families AND EWMA in one vectorized mapInArrow
+    stage (operators/window_kernel.py, bitwise-identical, pytest-pinned);
+    ``"auto"`` (default) picks the kernel whenever the pandas EWMA stage
+    already pays the Python boundary, or from WINDOW_KERNEL_MIN_METRICS
+    metrics otherwise — the regimes where WindowExec's per-function
+    overhead dominates (measurements at the constant's definition).
     """
     df = transcripts
     if dedup:
@@ -51,6 +73,32 @@ def backfill_features(
         raise ValueError(
             f"ewma_engine must be 'pandas' or 'jvm', got {ewma_engine!r}"
         )
+    if window_engine not in ("auto", "expr", "kernel"):
+        raise ValueError(
+            f"window_engine must be 'auto', 'expr' or 'kernel', got {window_engine!r}"
+        )
+    use_kernel = window_engine == "kernel" or (
+        window_engine == "auto"
+        and ewma_engine == "pandas"
+        and (bool(ewma_span) or len(spec.metrics) >= WINDOW_KERNEL_MIN_METRICS)
+    )
+    if use_kernel:
+        # windows + EWMA in one Arrow pass over the already hash(entity)-
+        # clustered, entity-sorted sessionize output — the same single
+        # exchange, with ~5x fewer columns crossing the Python boundary
+        # than the expression path's EWMA hop (which ships every computed
+        # window column both ways)
+        from nfl_feature_store_spark.operators.window_kernel import (
+            window_features_ewma_kernel,
+        )
+
+        df = window_features_ewma_kernel(
+            df, spec, ewma_span=ewma_span or None, presorted=True
+        )
+        if rank_metric:
+            df = df.withColumn("__bucket", F.date_trunc(rank_bucket, F.col("ts")))
+            df = rank_features(df, [rank_metric], ["__bucket"]).drop("__bucket")
+        return df
     df = compile_window_features(df, spec)
     if ewma_span:
         if ewma_engine == "jvm":

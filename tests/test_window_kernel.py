@@ -1,0 +1,114 @@
+"""Pin the vectorized window+EWMA Arrow kernel (operators/window_kernel.py)
+bitwise against the expression path it replaces for wide specs:
+
+* exceptAll-parity (both directions) vs compile_window_features + with_ewma
+  on corpora with NULL metrics, negative/large-magnitude metrics,
+  multi-session entities and single-row entities;
+* identical output schema and column order;
+* the kernel-mode pipeline keeps the single hash(conv_id) exchange
+  (mapInArrow over the presorted sessionize output — no re-partition);
+* backfill_features engine selection: expr below the metric threshold,
+  kernel at/above it, explicit overrides honored.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from nfl_feature_store_spark.functions.turn_metrics import dedup_latest, with_turn_metrics
+from nfl_feature_store_spark.operators.ewma import with_ewma
+from nfl_feature_store_spark.operators.sessionize import sessionize
+from nfl_feature_store_spark.operators.window_kernel import window_features_ewma_kernel
+from nfl_feature_store_spark.operators.windows import FeatureSpec, compile_window_features
+from nfl_feature_store_spark.plans.pipeline import (
+    WINDOW_KERNEL_MIN_METRICS,
+    backfill_features,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    from nfl_feature_store_spark.sources.transcripts import gen_transcripts_distributed
+
+    gen = gen_transcripts_distributed(spark, n_convs=800, avg_turns=8, seed=13, partitions=4)
+    gen = sessionize(with_turn_metrics(dedup_latest(gen)))
+    # NULL injection + a signed large-magnitude metric exercise the exact
+    # skip-initialization and accumulation-order semantics
+    gen = gen.withColumn(
+        "chars",
+        F.when(F.xxhash64("conv_id", "turn_idx") % 7 == 0, F.lit(None)).otherwise(F.col("chars")),
+    ).withColumn(
+        "signed",
+        ((F.xxhash64("conv_id", "turn_idx", F.lit(9)) % 2001) - 1000).cast("double") * 1e7,
+    )
+    return gen.repartition(4, "conv_id").sortWithinPartitions("conv_id", "ts", "turn_idx")
+
+
+def _expr_path(df, spec, span):
+    out = compile_window_features(df, spec)
+    if span:
+        out = with_ewma(
+            out, metrics=spec.metrics, span=span, entity_col=spec.entity_col,
+            order_cols=spec.order_cols, presorted=True,
+        )
+    return out
+
+
+@pytest.mark.parametrize(
+    "spec,span",
+    [
+        (FeatureSpec(metrics=("chars", "words", "is_tool", "signed")), 10),
+        (FeatureSpec(metrics=("chars", "signed"), form_window=None, roll_windows=(5, 10)), None),
+        (FeatureSpec(metrics=("chars", "words"), session_anchored=False, lag=False), 10),
+    ],
+)
+def test_kernel_bitwise_parity(corpus, spec, span):
+    old = _expr_path(corpus, spec, span)
+    new = window_features_ewma_kernel(corpus, spec, ewma_span=span, presorted=True)
+    assert old.columns == new.columns
+    assert old.schema == new.schema
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+
+def test_kernel_pipeline_single_exchange(spark):
+    from nfl_feature_store_spark.sources.transcripts import gen_transcripts_distributed
+
+    metrics = ("chars", "words", "is_tool") + tuple(
+        f"m{i}" for i in range(WINDOW_KERNEL_MIN_METRICS)
+    )
+    raw = gen_transcripts_distributed(spark, n_convs=200, avg_turns=6, seed=5, partitions=4)
+    wide = raw.withColumns(
+        {f"m{i}": (F.xxhash64("conv_id", F.lit(i)) % 100).cast("double")
+         for i in range(WINDOW_KERNEL_MIN_METRICS)}
+    )
+    feats = backfill_features(wide, spec=FeatureSpec(metrics=metrics), rank_metric=None)
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan  # kernel engine actually selected
+    exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert exchanges == ["conv_id"], exchanges
+
+
+def test_engine_selection_and_validation(corpus):
+    narrow = backfill_features(corpus, rank_metric=None, ewma_span=None)
+    assert "MapInArrow" not in narrow._jdf.queryExecution().executedPlan().toString()
+    forced = backfill_features(
+        corpus, rank_metric=None, ewma_span=None, window_engine="kernel"
+    )
+    assert "MapInArrow" in forced._jdf.queryExecution().executedPlan().toString()
+    with pytest.raises(ValueError, match="window_engine"):
+        backfill_features(corpus, window_engine="fast")
+    with pytest.raises(ValueError, match="duplicates"):
+        window_features_ewma_kernel(corpus, FeatureSpec(metrics=("chars", "chars")))
+    with pytest.raises(ValueError, match="overlap"):
+        window_features_ewma_kernel(corpus, FeatureSpec(metrics=("chars", "conv_id")))
+
+
+def test_kernel_partition_tripwire(corpus):
+    with pytest.raises(Exception, match="max_partition_rows"):
+        window_features_ewma_kernel(
+            corpus, FeatureSpec(metrics=("chars",)), presorted=True, max_partition_rows=3
+        ).write.format("noop").mode("overwrite").save()
