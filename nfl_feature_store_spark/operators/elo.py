@@ -393,14 +393,19 @@ def elo_pairwise(
     a_snap = snap.select(
         F.col("__sb").alias("__ab"), F.col("__se").alias("__ae"), F.col("__sr").alias("elo_pre_away")
     )
+    # explicit broadcast: the snapshot is small by construction (one row per
+    # (bucket, entity) rating), but its post-union/read size ESTIMATE grows
+    # with history and can flip the planner to sort-merge — which would
+    # shuffle the full match table twice on compound string keys (guide
+    # §3.1: hint when you know a side is small)
     out = (
         df.join(
-            h_snap,
+            F.broadcast(h_snap),
             (b_str == F.col("__hb")) & (F.col(home_col).cast("string") == F.col("__he")),
             "left",
         )
         .join(
-            a_snap,
+            F.broadcast(a_snap),
             (b_str == F.col("__ab")) & (F.col(away_col).cast("string") == F.col("__ae")),
             "left",
         )

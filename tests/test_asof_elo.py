@@ -367,3 +367,17 @@ def test_elo_pairwise_driver_pulls_one_row_per_bucket(spark):
     exp = _pairwise_referee(matches).sort_values("match_id").reset_index(drop=True)
     np.testing.assert_allclose(got["elo_pre_home"], exp["pre_h"], rtol=1e-12)
     np.testing.assert_allclose(got["elo_pre_away"], exp["pre_a"], rtol=1e-12)
+
+
+def test_elo_pairwise_snapshot_joins_stay_broadcast(spark):
+    """Round-6: the scoring join's snapshot side is small by construction
+    (one row per (bucket, entity) rating) but its size ESTIMATE grows with
+    history; the explicit broadcast hint must keep BOTH scoring joins
+    BroadcastHashJoin so the match table is never shuffled on the compound
+    string keys."""
+    matches = _league_fixture(n_buckets=6)
+    sdf = spark.createDataFrame(matches)
+    out = elo_pairwise(sdf, "home", "away", "outcome", "bucket", k=20.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
