@@ -152,6 +152,11 @@ def window_features_ewma_kernel(
         new_ent[1:] = ent[1:] != ent[:-1]
         # rows since the entity's first row (bounds which shifts stay in-entity)
         pos = np.arange(n) - np.maximum.accumulate(np.where(new_ent, np.arange(n), 0))
+        # fully-non-null partitions (the engine's metrics in practice) take
+        # vectorized fast paths: validity masks collapse to the 1D ``pos``
+        # bound and the sliding chains run in-place on array VIEWS instead
+        # of allocating shifted copies — same arithmetic, same order
+        all_valid = bool(VALID.all())
 
         out: dict[str, np.ndarray] = {}
 
@@ -161,17 +166,34 @@ def window_features_ewma_kernel(
             s[:j] = 0
             return s
 
-        # ---- lag-1 family
-        if lag_on or session_anchored or ewma_span:
-            Xs1 = shifted(X, 1)
+        # ---- lag-1 family (also the EWMA input series)
+        L = np.full((n, M), np.nan)
+        L[1:] = X[:-1]
+        if all_valid:
+            L[new_ent] = np.nan
+        else:
             V1 = shifted(VALID, 1) & (pos >= 1)[:, None]
+            L[~V1] = np.nan
         if lag_on:
-            L = np.where(V1, Xs1, np.nan)
             for j, m in enumerate(metrics):
                 out[f"last_{m}"] = L[:, j]
 
         # ---- sliding frames: oldest-to-newest chain with first-valid init
         def sliding_avg(k: int) -> np.ndarray:
+            if all_valid:
+                # row i's frame row at distance j exists iff pos[i] >= j (and
+                # then it is valid); init-before-step-j == pos >= j+1. All
+                # masks are 1D and global index i >= pos[i], so every touched
+                # row lies in the [j:] slice — operate on views, in place.
+                acc = np.zeros((n, M), dtype=np.float64)
+                for j in range(k, 0, -1):  # frame iterates ascending row order
+                    m1 = pos[j:] >= j
+                    m2 = pos[j:] >= j + 1
+                    np.add(acc[j:], X[:-j], out=acc[j:], where=m2[:, None])
+                    np.copyto(acc[j:], X[:-j], where=(m1 & ~m2)[:, None])
+                cnt = np.minimum(pos, k)[:, None]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    return np.where(cnt > 0, acc / cnt, np.nan)
             acc = np.zeros((n, M), dtype=np.float64)
             init = np.zeros((n, M), dtype=bool)
             cnt = np.zeros((n, M), dtype=np.int64)
@@ -211,26 +233,39 @@ def window_features_ewma_kernel(
             bc_cur = np.full(M, np.nan)
             for t in range(n):
                 if new_ent[t]:
-                    acc[:] = 0.0
-                    cnt[:] = 0
-                    bs_cur[:] = np.nan
-                    bc_cur[:] = np.nan
+                    acc = np.zeros(M, dtype=np.float64)
+                    cnt = np.zeros(M, dtype=np.int64)
+                    bs_cur = np.full(M, np.nan)
+                    bc_cur = np.full(M, np.nan)
                 sincl[t] = acc
                 cincl[t] = cnt
                 if session_anchored:
+                    base_s[t] = bs_cur
+                    base_c[t] = bc_cur
                     if isf[t]:
-                        base_s[t] = bs_cur
-                        base_c[t] = bc_cur
-                        xv = np.where(V1[t], Xs1[t], 0.0)
-                        bs_cur = acc - xv
-                        bc_cur = (cnt - V1[t]).astype(np.float64)
+                        # sexcl at the session-start row: prior sum minus the
+                        # 0.0-coalesced lag. Lag VALIDITY (not NaN-ness: a
+                        # literal-NaN lag is valid and must poison the base,
+                        # as in Spark) decides the coalesce and the count.
+                        if all_valid:
+                            lag_ok = pos[t] >= 1  # every metric's lag at once
+                            bs_cur = acc - L[t] if lag_ok else acc - 0.0
+                            bc_cur = (cnt - (1 if lag_ok else 0)).astype(np.float64)
+                        else:
+                            xv = np.where(V1[t], L[t], 0.0)
+                            bs_cur = acc - xv
+                            bc_cur = (cnt - V1[t]).astype(np.float64)
+                if all_valid:
+                    if pos[t] == 0:
+                        acc = X[t].copy()
                     else:
-                        base_s[t] = bs_cur
-                        base_c[t] = bc_cur
-                v = VALID[t]
-                first = cnt == 0
-                acc = np.where(v, np.where(first, X[t], acc + X[t]), acc)
-                cnt = cnt + v
+                        acc = acc + X[t]
+                    cnt = cnt + 1
+                else:
+                    v = VALID[t]
+                    first = cnt == 0
+                    acc = np.where(v, np.where(first, X[t], acc + X[t]), acc)
+                    cnt = cnt + v
             if expanding_on:
                 with np.errstate(invalid="ignore", divide="ignore"):
                     E = np.where(cincl > 0, sincl / cincl, np.nan)
@@ -244,17 +279,17 @@ def window_features_ewma_kernel(
                 for j, m in enumerate(metrics):
                     out[f"session_avg_{m}"] = S[:, j]
 
-        # ---- EWMA: exact same pandas grouped-cython calls as with_ewma
+        # ---- EWMA: the same pandas grouped-cython ewm call as with_ewma,
+        # fed the lag array L directly (identical value/NaN sequence to the
+        # old groupby-shift, whose pass this skips) and grouped by integer
+        # run codes instead of the string entity key (same groups, same
+        # order — cheaper hashing)
         if ewma_span:
-            spdf = pd.DataFrame(
-                {m: pd.array(X[:, j]).to_numpy() for j, m in enumerate(metrics)}
-            )
-            # restore NULLs the float64 cast kept as values (none in practice;
-            # NaN/NULL conflation documented above) then group per entity
-            gkey = pd.Series(ent)
-            shifted_pdf = spdf.groupby(gkey, sort=False, dropna=False)[metrics].shift(1)
+            codes = np.cumsum(new_ent)
+            gkey = pd.Series(codes)
             ewm = (
-                shifted_pdf.groupby(gkey, sort=False, dropna=False)
+                pd.DataFrame({m: L[:, j] for j, m in enumerate(metrics)})
+                .groupby(gkey, sort=False, dropna=False)
                 .ewm(span=ewma_span, adjust=False)
                 .mean()
             )

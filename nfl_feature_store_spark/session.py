@@ -44,6 +44,15 @@ def get_spark(
         # minPartitionSize=1m collapsed a 3MB window stage to 2 tasks)
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.session.timeZone", "UTC")
+        # floor on scan splits (guide §6): a 126MB single-file table under
+        # the 128MB maxPartitionBytes default scans as ONE task even when it
+        # holds several row groups; the floor splits it into byte ranges so
+        # every row group gets its own task (measured: sf1.0 lineitem 6 row
+        # groups 1 -> 6 scan tasks). Scale-adaptive by construction — any
+        # table bigger than cores x 128MB already exceeds the floor, so
+        # nothing changes at production scale. Single-row-group files are
+        # instead handled by plans/layout.spread at the operator level.
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
