@@ -43,17 +43,23 @@ def lang_id_expr(col: Column | str) -> Column:
     hits at all.
     """
     c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
-    scores = [(lang, _marker_hits(c, words)) for lang, words in sorted(_LANG_MARKERS.items())]
-    best = None
-    best_score = None
-    for lang, score in scores:
-        if best is None:
-            best, best_score = F.lit(lang), score
-        else:
-            cond = score > best_score
+    entries = sorted(_LANG_MARKERS.items())
+    # bind all marker counts as ONE struct lambda variable: the when-chain
+    # below references every score several times, and a non-lambda-variable
+    # subexpression inside an expression tree is re-evaluated per reference
+    # — binding makes each regexp_count run exactly once per row
+    scores = F.struct(*[_marker_hits(c, words).alias(lang) for lang, words in entries])
+
+    def pick(s):
+        best = F.lit(entries[0][0])
+        best_score = s[entries[0][0]]
+        for lang, _ in entries[1:]:
+            cond = s[lang] > best_score
             best = F.when(cond, F.lit(lang)).otherwise(best)
-            best_score = F.when(cond, score).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+            best_score = F.when(cond, s[lang]).otherwise(best_score)
+        return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+    return F.element_at(F.transform(F.array(scores), pick), 1)
 
 
 def quality_score_exprs(col: Column | str) -> dict[str, Column]:
@@ -124,19 +130,36 @@ def winnow_fingerprints(
     array<bigint> and a rows-only driver check; ``hash_fn="md5"`` yields
     array<string> of hex digests — lexicographic min == unsigned numeric
     min, identical in DuckDB, so the pipeline gains a full value-hash
-    oracle (operators/dedup.py module docstring)."""
-    c = F.lower(F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit("")))
+    oracle (operators/dedup.py module docstring).
+
+    Evaluation-count discipline (round-6): a non-lambda-variable
+    subexpression referenced inside a higher-order lambda is RE-EVALUATED
+    per element — the original formulation referenced the whole gram-hash
+    array from the window lambda and the lowered text from the gram lambda,
+    making the fingerprint O(len²) hash calls per document (measured: q44
+    ran minutes at sf1.0 where document text is long). Each stage is
+    therefore bound as a one-element-array lambda variable so the text is
+    lowered once and every gram is hashed once; cost is back to
+    O(len·w) array ops + O(len) hash calls."""
+    raw = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
     if hash_fn not in ("xxhash64", "md5"):
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     gram_hash = F.xxhash64 if hash_fn == "xxhash64" else F.md5
-    n_grams = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
-    hashes = F.transform(
-        F.sequence(F.lit(1), n_grams), lambda i: gram_hash(c.substr(i, F.lit(k)))
-    )
-    n_windows = F.greatest(F.size(hashes) - F.lit(w - 1), F.lit(1))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_windows), lambda i: F.array_min(F.slice(hashes, i, w))
-    )
+
+    def windows_of(h):  # h: bound gram-hash array (evaluated once)
+        n_windows = F.greatest(F.size(h) - F.lit(w - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n_windows), lambda i: F.array_min(F.slice(h, i, w))
+        )
+
+    def mins_of(t):  # t: bound lowered text (evaluated once)
+        n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+        hashes = F.transform(
+            F.sequence(F.lit(1), n_grams), lambda i: gram_hash(t.substr(i, F.lit(k)))
+        )
+        return F.element_at(F.transform(F.array(hashes), windows_of), 1)
+
+    mins = F.element_at(F.transform(F.array(F.lower(raw)), mins_of), 1)
     return F.array_distinct(mins)
 
 

@@ -520,7 +520,9 @@ FROM documents GROUP BY 1
 
 def q22_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Text quality scoring: token count, char-class ratios, stopword ratio."""
-    docs = load_table(spark, sf, "documents")
+    from nfl_feature_store_spark.plans.layout import spread
+
+    docs = spread(load_table(spark, sf, "documents").select("doc_id", "text"), "doc_id")
     t = F.coalesce(F.col("text"), F.lit(""))
     n = F.length(t).cast("double")
     tokens = (
@@ -558,8 +560,9 @@ FROM documents
 def q23_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """Heuristic language ID (stopword-marker argmax, tie → lang asc)."""
     from nfl_feature_store_spark.functions.text import lang_id_expr
+    from nfl_feature_store_spark.plans.layout import spread
 
-    docs = load_table(spark, sf, "documents")
+    docs = spread(load_table(spark, sf, "documents").select("doc_id", "text"), "doc_id")
     return docs.select("doc_id", lang_id_expr("text").alias("lang_pred"))
 
 
@@ -1159,9 +1162,13 @@ def q36_salted_expanding(spark: SparkSession, sf: str) -> DataFrame:
     decomposition must be invisible in the result. Integer-valued metric
     (props length) keeps partial sums float-exact across engines."""
     from nfl_feature_store_spark.operators.salted import salted_expanding_mean
+    from nfl_feature_store_spark.plans.layout import spread
 
-    ev = load_table(spark, sf, "events").select(
-        "event_id", "user_id", "ts", F.length(F.coalesce(F.col("props"), F.lit(""))).alias("plen")
+    ev = spread(
+        load_table(spark, sf, "events").select(
+            "event_id", "user_id", "ts", F.length(F.coalesce(F.col("props"), F.lit(""))).alias("plen")
+        ),
+        "user_id",
     )
     out = salted_expanding_mean(ev, "plen", entity_col="user_id", order_cols=("ts", "event_id"), n_salt=8)
     return out.select("event_id", _r("salted_expanding_plen", 6).alias("salted_expanding_plen"))
@@ -1182,9 +1189,13 @@ def q37_salted_rolling(spark: SparkSession, sf: str) -> DataFrame:
     event counts (the operator's contract; hot entities in production pick
     n_salt <= n_rows/k)."""
     from nfl_feature_store_spark.operators.salted import salted_rolling_mean
+    from nfl_feature_store_spark.plans.layout import spread
 
-    ev = load_table(spark, sf, "events").select(
-        "event_id", "user_id", "ts", F.length(F.coalesce(F.col("props"), F.lit(""))).alias("plen")
+    ev = spread(
+        load_table(spark, sf, "events").select(
+            "event_id", "user_id", "ts", F.length(F.coalesce(F.col("props"), F.lit(""))).alias("plen")
+        ),
+        "user_id",
     )
     out = salted_rolling_mean(
         ev, "plen", k=10, entity_col="user_id", order_cols=("ts", "event_id"), n_salt=2
@@ -1209,9 +1220,13 @@ def q38_salted_ewm(spark: SparkSession, sf: str) -> DataFrame:
     decimals; bit-near parity is also pytest-pinned
     (tests/test_salted_multimodal.py)."""
     from nfl_feature_store_spark.operators.salted import salted_ewm
+    from nfl_feature_store_spark.plans.layout import spread
 
-    ev = load_table(spark, sf, "events").select(
-        "event_id", F.col("user_id").cast("string").alias("uid"), "ts", "value"
+    ev = spread(
+        load_table(spark, sf, "events").select(
+            "event_id", F.col("user_id").cast("string").alias("uid"), "ts", "value"
+        ),
+        "uid",
     )
     out = salted_ewm(ev, "value", span=10, entity_col="uid", order_cols=("ts", "event_id"), n_salt=4)
     return out.select("event_id", _r("salted_ewma_value", 6).alias("salted_ewma_value"))
@@ -1408,8 +1423,9 @@ def q43_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     via regexp_count — engine-portable, so the oracle runs the SAME pattern
     through DuckDB's RE2. Whitespace tier alongside for comparison."""
     from nfl_feature_store_spark.functions.text import bpe_token_count_expr, token_count_expr
+    from nfl_feature_store_spark.plans.layout import spread
 
-    docs = load_table(spark, sf, "documents")
+    docs = spread(load_table(spark, sf, "documents").select("doc_id", "text"), "doc_id")
     return docs.select(
         "doc_id",
         bpe_token_count_expr("text").cast("long").alias("bpe_tokens"),
@@ -1501,8 +1517,12 @@ def q46_salted_asof(spark: SparkSession, sf: str) -> DataFrame:
     carry-forward, broadcast prior-chunk snapshot fallback). Same ANSI ASOF
     oracle as q16 — the salting must be invisible in the result."""
     from nfl_feature_store_spark.operators.asof import salted_asof_join
+    from nfl_feature_store_spark.plans.layout import spread
 
-    ev = load_table(spark, sf, "events")
+    ev = spread(
+        load_table(spark, sf, "events").select("event_id", "user_id", "ts", "event_type", "value"),
+        "user_id",
+    )
     feats = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", "ts")
@@ -1739,8 +1759,11 @@ def q52_entity_split(spark: SparkSession, sf: str) -> DataFrame:
     row of an entity lands in the same split — the grouping-leakage guard
     for conversation data (operators/sampling.py entity_split)."""
     from nfl_feature_store_spark.operators.sampling import entity_split
+    from nfl_feature_store_spark.plans.layout import spread
 
-    ev = load_table(spark, sf, "events")
+    # the portable md5 bucket is per-row compute on the scan side; spread a
+    # single-row-group scan so it parallelizes (the groupBy exchanges anyway)
+    ev = spread(load_table(spark, sf, "events").select("user_id"), "user_id")
     out = entity_split(ev, entity_col="user_id", seed=7)
     return out.groupBy("split").agg(
         F.countDistinct("user_id").cast("long").alias("n_entities"),
