@@ -121,7 +121,11 @@ def lsh_topk(
     c = (
         spread(corpus.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")), "cid")
         .withColumn("cn", _norm("cv"))
-        .withColumn("bucket", lsh_bucket("cv", bits))
+        # corpus-side coalesce(-1) only (see ivf_topk): keeps the bucket key
+        # non-null so the inferred isnotnull predicate cannot push the
+        # whole hyperplane computation below the spread exchange; the query
+        # side stays nullable, so a NULL query vector still matches nothing
+        .withColumn("bucket", F.coalesce(lsh_bucket("cv", bits), F.lit(-1)))
     )
     q = (
         queries.select(F.col(query_id_col).alias("qid"), _as_double(vec_col).alias("qv"))
@@ -223,16 +227,16 @@ def ivf_topk(
         cents = [
             (i, [float(x) for x in v], selfdots[i]) for i, v in enumerate(centroids)
         ]
-        cents_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("i"),
-                    F.array(*[F.lit(x) for x in v]).alias("c"),
-                    F.lit(cc).alias("cc"),
-                )
-                for i, v, cc in cents
-            ]
+        # ONE sql-text expression instead of ~n_centroids x dim F.lit()
+        # py4j round-trips (measured: the literal-by-literal construction
+        # alone cost seconds of driver time per query build at 16x64);
+        # repr() doubles round-trip exactly through the SQL parser
+        cents_sql = ", ".join(
+            f"named_struct('i', {i}, 'c', array({', '.join(f'{x!r}d' for x in v)}), "
+            f"'cc', {cc!r}d)"
+            for i, v, cc in cents
         )
+        cents_arr = F.expr(f"array({cents_sql})")
         dot_vc = "aggregate(zip_with(cv, s.c, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"
         dists = F.expr(f"transform(__cents, s -> __vv - 2 * {dot_vc} + s.cc)")
         inverted = (
@@ -240,8 +244,19 @@ def ivf_topk(
             .withColumn("__cents", cents_arr)
             .withColumn("__ds", dists)
             .withColumn(
+                # coalesce(-1) never fires on a real vector; it makes the
+                # join key provably NON-NULL so Catalyst does not infer an
+                # isnotnull(centroid) predicate and push it below the spread
+                # exchange — which would re-evaluate the whole centroid
+                # assignment on the (narrow) scan side (measured: 2-task
+                # 3.7s map-side stage at sf1.0). A NULL vector previously
+                # dropped out via the null join key; it now carries -1,
+                # which matches no probe (probe centroids are 0..k-1).
                 "centroid",
-                (F.array_position(F.col("__ds"), F.array_min("__ds")) - 1).cast("int"),
+                F.coalesce(
+                    (F.array_position(F.col("__ds"), F.array_min("__ds")) - 1).cast("int"),
+                    F.lit(-1),
+                ),
             )
             .select("cid", "cv", "cn", "centroid")
         )
