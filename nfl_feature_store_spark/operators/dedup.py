@@ -39,17 +39,26 @@ from pyspark.sql import functions as F
 from nfl_feature_store_spark.plans.layout import spread
 
 #: SQL fragment: unsigned decimal(20,0) value of md5(t)'s low 8 bytes
-#: little-endian (== DuckDB md5_number_lower(t)); `t` is the lambda var
+#: little-endian (== DuckDB md5_number_lower(t)); `t` is the lambda var.
+#: The digest is BOUND as a one-element-array lambda variable (__mh) so md5
+#: runs ONCE per value: a repeated non-lambda subexpression inside a
+#: higher-order lambda has no common-subexpression elimination and would be
+#: re-evaluated per reference — the naive spelling paid 8 md5 calls here
+#: (16 after the signed fold below) per token (guide §4 / functions/text.py
+#: winnow_fingerprints note; same trap, same fix).
 _MD5_LOWER64_U = (
-    "cast(conv(concat(substring(md5(t),31,2),substring(md5(t),29,2),"
-    "substring(md5(t),27,2),substring(md5(t),25,2),substring(md5(t),23,2),"
-    "substring(md5(t),21,2),substring(md5(t),19,2),substring(md5(t),17,2)),"
-    "16,10) as decimal(20,0))"
+    "element_at(transform(array(md5(t)), __mh -> "
+    "cast(conv(concat(substring(__mh,31,2),substring(__mh,29,2),"
+    "substring(__mh,27,2),substring(__mh,25,2),substring(__mh,23,2),"
+    "substring(__mh,21,2),substring(__mh,19,2),substring(__mh,17,2)),"
+    "16,10) as decimal(20,0))), 1)"
 )
-#: same value folded to signed bigint (two's complement)
+#: same value folded to signed bigint (two's complement); the unsigned value
+#: is likewise bound once (__mu) instead of being evaluated twice
 MD5_LOWER64_SQL = (
-    f"cast({_MD5_LOWER64_U} - (case when {_MD5_LOWER64_U} >= 9223372036854775808 "
-    f"then cast(18446744073709551616 as decimal(21,0)) else cast(0 as decimal(21,0)) end) as bigint)"
+    f"element_at(transform(array({_MD5_LOWER64_U}), __mu -> "
+    "cast(__mu - (case when __mu >= 9223372036854775808 "
+    "then cast(18446744073709551616 as decimal(21,0)) else cast(0 as decimal(21,0)) end) as bigint)), 1)"
 )
 
 
@@ -82,12 +91,19 @@ def _shingles(text_col: str, k: int = 5):
 
     NULL text coalesces to '' (one empty shingle) so NULL and empty
     documents fingerprint identically — matching the oracle SQL's
-    coalesce and winnow_fingerprints' convention (round-4 advice)."""
-    t = f"lower(coalesce({text_col}, ''))"
+    coalesce and winnow_fingerprints' convention (round-4 advice).
+
+    The lowered text is BOUND as a one-element-array lambda variable so it
+    is computed once per document: referencing ``lower(coalesce(text, ''))``
+    from inside the per-shingle lambda re-evaluates it per element — an
+    O(len²) copy cost per document (the same trap winnow_fingerprints
+    documents; measured: the fix cut the q53 sf0.1 signature stage ~3x)."""
+    t0 = f"lower(coalesce({text_col}, ''))"
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(1, greatest(length({t}) - {k - 1}, 1)),"
-            f" i -> substring({t}, i, {k}))"
+            f"element_at(transform(array({t0}), t -> "
+            f"transform(sequence(1, greatest(length(t) - {k - 1}, 1)),"
+            f" i -> substring(t, i, {k}))), 1)"
         )
     )
 
@@ -216,7 +232,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, hash_fn: str = "xxhash64"
           transform(filter(split(lower(SRC), '\\\\s+'), t -> t != ''), t -> TOKHASH),
           array_repeat(0L, 64),
           (acc, h) -> zip_with(acc, sequence(0, 63),
-                               (a, i) -> a + CASE WHEN ((h >> i) & 1L) = 1L THEN 1L ELSE -1L END)
+                               (a, i) -> a + CASE WHEN (shiftright(h, i) & 1L) = 1L THEN 1L ELSE -1L END)
         )
         """.replace("SRC", src).replace("TOKHASH", tok_hash)
     )
