@@ -222,62 +222,100 @@ def window_features_ewma_kernel(
                 sess = sub[session_col].to_numpy()
                 isf = new_ent.copy()
                 isf[1:] |= sess[1:] != sess[:-1]
-            sincl = np.empty((n, M), dtype=np.float64)   # sum of prior valids (0.0-coalesced)
-            cincl = np.empty((n, M), dtype=np.int64)     # count of prior valids
-            if session_anchored:
-                base_s = np.empty((n, M), dtype=np.float64)
-                base_c = np.empty((n, M), dtype=np.float64)
-            acc = np.zeros(M, dtype=np.float64)
-            cnt = np.zeros(M, dtype=np.int64)
-            bs_cur = np.full(M, np.nan)
-            bc_cur = np.full(M, np.nan)
-            for t in range(n):
-                if new_ent[t]:
-                    acc = np.zeros(M, dtype=np.float64)
-                    cnt = np.zeros(M, dtype=np.int64)
-                    bs_cur = np.full(M, np.nan)
-                    bc_cur = np.full(M, np.nan)
-                sincl[t] = acc
-                cincl[t] = cnt
+            if all_valid:
+                # Vectorized per ENTITY, not per row (round-6: the row loop
+                # cost ~20us/row of Python dispatch at width 190). Bitwise
+                # identity holds because np.cumsum accumulates strictly
+                # left-to-right within a segment — the same add order as
+                # the row loop — and each entity's cumsum starts fresh
+                # (never a global-cumsum-minus-offset, which would round
+                # differently).
+                ent_starts = np.nonzero(new_ent)[0]
+                bounds = np.append(ent_starts, n)
+                sincl = np.empty((n, M), dtype=np.float64)
+                for a, b in zip(bounds[:-1], bounds[1:]):
+                    sincl[a] = 0.0
+                    if b - a > 1:
+                        np.cumsum(X[a : b - 1], axis=0, out=sincl[a + 1 : b])
+                cincl = pos[:, None]  # all valid: count of priors == pos
+                if expanding_on:
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        E = np.where(cincl > 0, sincl / cincl, np.nan)
+                    for j, m in enumerate(metrics):
+                        out[f"expanding_{m}"] = E[:, j]
                 if session_anchored:
-                    base_s[t] = bs_cur
-                    base_c[t] = bc_cur
-                    if isf[t]:
-                        # sexcl at the session-start row: prior sum minus the
-                        # 0.0-coalesced lag. Lag VALIDITY (not NaN-ness: a
-                        # literal-NaN lag is valid and must poison the base,
-                        # as in Spark) decides the coalesce and the count.
-                        if all_valid:
-                            lag_ok = pos[t] >= 1  # every metric's lag at once
-                            bs_cur = acc - L[t] if lag_ok else acc - 0.0
-                            bc_cur = (cnt - (1 if lag_ok else 0)).astype(np.float64)
-                        else:
+                    # boundary rows (every entity start is one); the base
+                    # recorded at row t is the value set at the latest
+                    # boundary BEFORE t for boundary rows (the two-anchor
+                    # prior-period rule) and AT OR BEFORE t otherwise —
+                    # exactly what the row loop's record-then-update did
+                    B = np.nonzero(isf)[0]
+                    lag_ok = pos[B] >= 1
+                    bs_vals = sincl[B] - np.where(
+                        lag_ok[:, None], X[np.maximum(B - 1, 0)], 0.0
+                    )
+                    bc_vals = (pos[B] - lag_ok).astype(np.float64)
+                    r = np.cumsum(isf)  # 1-based boundary ordinal at each row
+                    idx = r - 1 - isf   # loop semantics: boundaries record the PRIOR base
+                    # a row must never anchor into the previous entity:
+                    # its minimum ordinal is its own entity's first boundary
+                    min_idx = (r[ent_starts] - 1)[np.cumsum(new_ent) - 1]
+                    ok = idx >= min_idx
+                    safe = np.maximum(idx, 0)
+                    base_s = np.where(ok[:, None], bs_vals[safe], np.nan)
+                    base_c = np.where(ok, bc_vals[safe], np.nan)[:, None]
+                    num = sincl - np.where(np.isnan(base_s), 0.0, base_s)
+                    den = cincl - np.where(np.isnan(base_c), 0.0, base_c)
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        S = np.where(den > 0, num / den, np.nan)
+                    for j, m in enumerate(metrics):
+                        out[f"session_avg_{m}"] = S[:, j]
+            else:
+                sincl = np.empty((n, M), dtype=np.float64)   # sum of prior valids (0.0-coalesced)
+                cincl = np.empty((n, M), dtype=np.int64)     # count of prior valids
+                if session_anchored:
+                    base_s = np.empty((n, M), dtype=np.float64)
+                    base_c = np.empty((n, M), dtype=np.float64)
+                acc = np.zeros(M, dtype=np.float64)
+                cnt = np.zeros(M, dtype=np.int64)
+                bs_cur = np.full(M, np.nan)
+                bc_cur = np.full(M, np.nan)
+                for t in range(n):
+                    if new_ent[t]:
+                        acc = np.zeros(M, dtype=np.float64)
+                        cnt = np.zeros(M, dtype=np.int64)
+                        bs_cur = np.full(M, np.nan)
+                        bc_cur = np.full(M, np.nan)
+                    sincl[t] = acc
+                    cincl[t] = cnt
+                    if session_anchored:
+                        base_s[t] = bs_cur
+                        base_c[t] = bc_cur
+                        if isf[t]:
+                            # sexcl at the session-start row: prior sum minus
+                            # the 0.0-coalesced lag. Lag VALIDITY (not
+                            # NaN-ness: a literal-NaN lag is valid and must
+                            # poison the base, as in Spark) decides the
+                            # coalesce and the count.
                             xv = np.where(V1[t], L[t], 0.0)
                             bs_cur = acc - xv
                             bc_cur = (cnt - V1[t]).astype(np.float64)
-                if all_valid:
-                    if pos[t] == 0:
-                        acc = X[t].copy()
-                    else:
-                        acc = acc + X[t]
-                    cnt = cnt + 1
-                else:
                     v = VALID[t]
                     first = cnt == 0
                     acc = np.where(v, np.where(first, X[t], acc + X[t]), acc)
                     cnt = cnt + v
-            if expanding_on:
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    E = np.where(cincl > 0, sincl / cincl, np.nan)
-                for j, m in enumerate(metrics):
-                    out[f"expanding_{m}"] = E[:, j]
-            if session_anchored:
-                num = sincl - np.where(np.isnan(base_s), 0.0, base_s)
-                den = cincl - np.where(np.isnan(base_c), 0.0, base_c)
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    S = np.where(den > 0, num / den, np.nan)
-                for j, m in enumerate(metrics):
-                    out[f"session_avg_{m}"] = S[:, j]
+                if expanding_on:
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        E = np.where(cincl > 0, sincl / cincl, np.nan)
+                    for j, m in enumerate(metrics):
+                        out[f"expanding_{m}"] = E[:, j]
+                if session_anchored:
+                    num = sincl - np.where(np.isnan(base_s), 0.0, base_s)
+                    den = cincl - np.where(np.isnan(base_c), 0.0, base_c)
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        S = np.where(den > 0, num / den, np.nan)
+                    for j, m in enumerate(metrics):
+                        out[f"session_avg_{m}"] = S[:, j]
 
         # ---- EWMA: the same pandas grouped-cython ewm call as with_ewma,
         # fed the lag array L directly (identical value/NaN sequence to the
@@ -294,14 +332,25 @@ def window_features_ewma_kernel(
                 .mean()
             )
             ewm.index = ewm.index.get_level_values(-1)
-            for m in metrics:
-                out[f"{ewma_prefix}{m}"] = ewm[m].reindex(range(n)).to_numpy()
+            idx = ewm.index.to_numpy()
+            if len(idx) == n and (idx == np.arange(n)).all():
+                # presorted input keeps groups in row order, so the frame
+                # already aligns positionally: one matrix extraction
+                # replaces M per-column reindex calls
+                EW = ewm.to_numpy()
+                for j, m in enumerate(metrics):
+                    out[f"{ewma_prefix}{m}"] = EW[:, j]
+            else:
+                for m in metrics:
+                    out[f"{ewma_prefix}{m}"] = ewm[m].reindex(range(n)).to_numpy()
 
-        res = tbl
-        for name in out_names:
-            res = res.append_column(
-                name, pa.array(out[name], type=pa.float64(), from_pandas=True)
-            )
+        # ONE table construction: append_column per output column is
+        # O(cols^2) metadata churn at 1000+ columns
+        res = pa.Table.from_arrays(
+            [tbl.column(i) for i in range(tbl.num_columns)]
+            + [pa.array(out[name], type=pa.float64(), from_pandas=True) for name in out_names],
+            names=list(tbl.column_names) + list(out_names),
+        )
         yield from res.to_batches()
 
     if presorted:
