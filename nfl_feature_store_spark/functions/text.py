@@ -163,6 +163,175 @@ def winnow_fingerprints(
     return F.array_distinct(mins)
 
 
+def winnow_fingerprints_table(
+    df,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    hash_fn: str = "xxhash64",
+    out_col: str = "fps",
+):
+    """(id, fps) — table-level winnowing with a vectorized md5 fast path.
+
+    The column-expression form (:func:`winnow_fingerprints`) pays one
+    interpreted md5 call per k-gram INSTANCE plus a per-window array
+    allocation; on long documents that dominated q44 (measured 14.5s for
+    5k docs x ~4.8k chars). For ``hash_fn="md5"`` this runs a
+    ``mapInArrow`` kernel instead (same pattern as the MinHash kernel,
+    operators/dedup.py): pack each k-char ASCII gram into a uint64 key,
+    md5 only the DISTINCT grams per partition, take window minima over
+    integer digest-ranks with shifted ``np.minimum`` chains, and dedupe
+    per document in first-occurrence order — exactly ``array_distinct``'s
+    order, so outputs are identical element-for-element (parity-pinned in
+    tests/test_minhash_kernel.py). Non-ASCII batches or k > 8 take a
+    memoized per-document slow path with the same semantics. The
+    xxhash64 family keeps the column expression (a call costs ns; the
+    JVM-hash seed semantics are not portably reproducible in Python).
+    """
+    from pyspark.sql import functions as F
+
+    from nfl_feature_store_spark.plans.layout import spread
+
+    src = spread(df.select(F.col(id_col), F.col(text_col)), id_col)
+    if hash_fn != "md5":
+        return src.select(
+            id_col, winnow_fingerprints(text_col, k, w, hash_fn).alias(out_col)
+        )
+    lowered = src.select(
+        F.col(id_col).alias("id"), F.expr(f"lower(coalesce({text_col}, ''))").alias("__t")
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    out = lowered.mapInArrow(
+        _winnow_md5_kernel(k, w),
+        schema=f"id {id_type}, fps array<string>",
+    )
+    return out.withColumnRenamed("id", id_col).withColumnRenamed("fps", out_col)
+
+
+def _winnow_md5_kernel(k: int, w: int):
+    """Arrow kernel: (id, __t lowered text) -> (id, fps array<string>)."""
+
+    def _slow_doc(t: str, memo: dict, md5) -> list[str]:
+        ng = max(len(t) - (k - 1), 1)
+        hs = []
+        for i in range(ng):
+            g = t[i : i + k]
+            h = memo.get(g)
+            if h is None:
+                h = md5(g.encode("utf-8")).hexdigest()
+                memo[g] = h
+            hs.append(h)
+        nw = max(ng - (w - 1), 1)
+        seen: dict[str, None] = {}
+        for j in range(nw):
+            seen.setdefault(min(hs[j : j + w]))
+        return list(seen)
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        md5 = hashlib.md5
+        memo: dict[str, str] = {}
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ids = b.column("id")
+            txt = b.column("__t").cast(pa.large_string())
+            buf = np.frombuffer(txt.buffers()[2] or b"", dtype=np.uint8)
+            offs = np.frombuffer(txt.buffers()[1], dtype=np.int64)[
+                txt.offset : txt.offset + n + 1
+            ]
+            lens = np.diff(offs)
+            ascii_ok = k <= 8 and (buf.size == 0 or bool((buf < 128).all()))
+            if not ascii_ok:
+                flat: list[str] = []
+                counts = np.empty(n, dtype=np.int64)
+                for d in range(n):
+                    fps = _slow_doc(txt[d].as_py(), memo, md5)
+                    counts[d] = len(fps)
+                    flat.extend(fps)
+                fp_arr = pa.ListArray.from_arrays(
+                    pa.array(np.concatenate(([0], np.cumsum(counts))), type=pa.int32()),
+                    pa.array(flat, type=pa.string()),
+                )
+                yield pa.RecordBatch.from_arrays([ids, fp_arr], ["id", "fps"])
+                continue
+
+            # ---- ASCII fast path: one uint64 key per k-byte gram
+            long_mask = lens >= k
+            g_counts = np.where(long_mask, lens - (k - 1), 0)
+            total = int(g_counts.sum())
+            gstarts = np.concatenate(([0], np.cumsum(g_counts)))
+            if total:
+                pos = np.repeat(offs[:-1], g_counts) + (
+                    np.arange(total) - np.repeat(gstarts[:-1], g_counts)
+                )
+                keys = np.zeros(total, dtype=np.uint64)
+                for byte_i in range(k):
+                    keys |= buf[pos + byte_i].astype(np.uint64) << np.uint64(8 * byte_i)
+                uniq, inv = np.unique(keys, return_inverse=True)
+                U = len(uniq)
+                ub = uniq[:, None].view(np.uint8).reshape(U, 8)[:, :k]
+                dig = np.empty(U, dtype="S32")
+                for u_i in range(U):
+                    dig[u_i] = md5(ub[u_i].tobytes()).hexdigest().encode()
+                order = np.argsort(dig, kind="stable")
+                rank = np.empty(U, dtype=np.int64)
+                rank[order] = np.arange(U)
+                sorted_dig = dig[order]
+                fr = rank[inv]
+                # global window minima over w consecutive gram ranks;
+                # per-doc validity masks out windows that cross documents
+                wm = fr.copy()
+                for s in range(1, w):
+                    if total > s:
+                        np.minimum(wm[:-s], fr[s:], out=wm[:-s])
+            per_doc_ranks: list[np.ndarray] = []
+            counts = np.empty(n, dtype=np.int64)
+            for d in range(n):
+                if not long_mask[d]:
+                    # whole (short) text is the single gram and window
+                    g = buf[offs[d] : offs[d + 1]].tobytes()
+                    h = md5(g).hexdigest()
+                    per_doc_ranks.append(None)
+                    counts[d] = 1
+                    per_doc_ranks[-1] = h  # sentinel: plain digest string
+                    continue
+                a = gstarts[d]
+                g_d = g_counts[d]
+                if g_d >= w:
+                    seg = wm[a : a + g_d - (w - 1)]
+                else:
+                    seg = fr[a : a + g_d].min(keepdims=True)
+                u, first = np.unique(seg, return_index=True)
+                ordered = u[np.argsort(first, kind="stable")]
+                per_doc_ranks.append(ordered)
+                counts[d] = len(ordered)
+            # assemble: map ranks back to digests in one flat conversion
+            flat_parts: list = []
+            for d in range(n):
+                r = per_doc_ranks[d]
+                if isinstance(r, str):
+                    flat_parts.append(np.array([r.encode()], dtype="S32"))
+                else:
+                    flat_parts.append(sorted_dig[r])
+            flat_np = (
+                np.concatenate(flat_parts) if flat_parts else np.empty(0, dtype="S32")
+            )
+            fp_arr = pa.ListArray.from_arrays(
+                pa.array(np.concatenate(([0], np.cumsum(counts))), type=pa.int32()),
+                pa.array(flat_np.astype("U32"), type=pa.string()),
+            )
+            yield pa.RecordBatch.from_arrays([ids, fp_arr], ["id", "fps"])
+
+    return kernel
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lowercased text. Engine-portable (identical in DuckDB) and stable across

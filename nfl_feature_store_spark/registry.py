@@ -1447,13 +1447,10 @@ def q44_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     window of k-gram hashes, deduped — portable-md5 family => fully oracled
     (count AND an order-insensitive digest of the fingerprint set). The
     shared-substring guarantee stays pytest-pinned on the xxhash64 default."""
-    from nfl_feature_store_spark.functions.text import winnow_fingerprints
-    from nfl_feature_store_spark.plans.layout import spread
+    from nfl_feature_store_spark.functions.text import winnow_fingerprints_table
 
-    docs = spread(load_table(spark, sf, "documents").select("doc_id", "text"), "doc_id")
-    fps = docs.select(
-        "doc_id", winnow_fingerprints("text", k=8, w=4, hash_fn="md5").alias("fps")
-    )
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    fps = winnow_fingerprints_table(docs, "doc_id", "text", k=8, w=4, hash_fn="md5")
     return fps.select(
         "doc_id",
         F.size("fps").cast("long").alias("n_fingerprints"),

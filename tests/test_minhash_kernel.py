@@ -55,3 +55,49 @@ def test_kernel_k_above_packed_limit_falls_back(spark, corpus_df):
     expr = _collect(_minhash_signature_md5_expr(corpus_df, "doc_id", "text", 4, 9))
     kern = _collect(minhash_signature(corpus_df, "doc_id", "text", 4, 9, hash_fn="md5"))
     assert kern == expr
+
+
+def test_winnow_table_matches_expr(spark, corpus_df):
+    """winnow_fingerprints_table (md5 kernel) must equal the column-expr
+    form element-for-element, including array_distinct's first-occurrence
+    order, short/empty docs and the non-ASCII slow path."""
+    from pyspark.sql import functions as F
+
+    from nfl_feature_store_spark.functions.text import (
+        winnow_fingerprints,
+        winnow_fingerprints_table,
+    )
+
+    for k, w in ((8, 4), (5, 3), (9, 4)):
+        expr = {
+            r["doc_id"]: list(r["fps"])
+            for r in corpus_df.select(
+                "doc_id", winnow_fingerprints("text", k=k, w=w, hash_fn="md5").alias("fps")
+            ).collect()
+        }
+        kern = {
+            r["doc_id"]: list(r["fps"])
+            for r in winnow_fingerprints_table(
+                corpus_df, "doc_id", "text", k=k, w=w, hash_fn="md5"
+            ).collect()
+        }
+        assert kern == expr, f"k={k} w={w}"
+
+
+def test_winnow_table_xxhash_falls_back_to_expr(spark, corpus_df):
+    from nfl_feature_store_spark.functions.text import (
+        winnow_fingerprints,
+        winnow_fingerprints_table,
+    )
+
+    expr = {
+        r["doc_id"]: list(r["fps"])
+        for r in corpus_df.select(
+            "doc_id", winnow_fingerprints("text", k=8, w=4).alias("fps")
+        ).collect()
+    }
+    kern = {
+        r["doc_id"]: list(r["fps"])
+        for r in winnow_fingerprints_table(corpus_df, "doc_id", "text", k=8, w=4).collect()
+    }
+    assert kern == expr
