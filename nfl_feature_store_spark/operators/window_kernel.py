@@ -160,6 +160,16 @@ def window_features_ewma_kernel(
 
         out: dict[str, np.ndarray] = {}
 
+        def emit(fmt: str, A: np.ndarray) -> None:
+            # one contiguous transpose per family matrix, then row slices:
+            # building 1000+ output Arrow arrays from per-COLUMN strided
+            # views re-walks the row-major matrix once per metric (profiled
+            # 0.66s/partition at width 190); the transposed copy pays the
+            # traffic once and every pa.array source is contiguous
+            AT = np.ascontiguousarray(A.T)
+            for j, m in enumerate(metrics):
+                out[fmt.format(m=m)] = AT[j]
+
         def shifted(arr: np.ndarray, j: int) -> np.ndarray:
             s = np.empty_like(arr)
             s[j:] = arr[:-j] if j else arr
@@ -175,8 +185,7 @@ def window_features_ewma_kernel(
             V1 = shifted(VALID, 1) & (pos >= 1)[:, None]
             L[~V1] = np.nan
         if lag_on:
-            for j, m in enumerate(metrics):
-                out[f"last_{m}"] = L[:, j]
+            emit("last_{m}", L)
 
         # ---- sliding frames: oldest-to-newest chain with first-valid init
         def sliding_avg(k: int) -> np.ndarray:
@@ -207,13 +216,9 @@ def window_features_ewma_kernel(
                 return np.where(cnt > 0, acc / cnt, np.nan)
 
         if form_k:
-            A = sliding_avg(form_k)
-            for j, m in enumerate(metrics):
-                out[f"form_{m}"] = A[:, j]
+            emit("form_{m}", sliding_avg(form_k))
         for k in roll_ks:
-            A = sliding_avg(k)
-            for j, m in enumerate(metrics):
-                out[f"roll{k}_{m}"] = A[:, j]
+            emit("roll" + str(k) + "_{m}", sliding_avg(k))
 
         # ---- sequential pass: expanding sums/counts + two-anchor session
         # bases. Same first-valid initialization as Spark's Sum aggregate.
@@ -241,8 +246,7 @@ def window_features_ewma_kernel(
                 if expanding_on:
                     with np.errstate(invalid="ignore", divide="ignore"):
                         E = np.where(cincl > 0, sincl / cincl, np.nan)
-                    for j, m in enumerate(metrics):
-                        out[f"expanding_{m}"] = E[:, j]
+                    emit("expanding_{m}", E)
                 if session_anchored:
                     # boundary rows (every entity start is one); the base
                     # recorded at row t is the value set at the latest
@@ -268,8 +272,7 @@ def window_features_ewma_kernel(
                     den = cincl - np.where(np.isnan(base_c), 0.0, base_c)
                     with np.errstate(invalid="ignore", divide="ignore"):
                         S = np.where(den > 0, num / den, np.nan)
-                    for j, m in enumerate(metrics):
-                        out[f"session_avg_{m}"] = S[:, j]
+                    emit("session_avg_{m}", S)
             else:
                 sincl = np.empty((n, M), dtype=np.float64)   # sum of prior valids (0.0-coalesced)
                 cincl = np.empty((n, M), dtype=np.int64)     # count of prior valids
@@ -307,15 +310,13 @@ def window_features_ewma_kernel(
                 if expanding_on:
                     with np.errstate(invalid="ignore", divide="ignore"):
                         E = np.where(cincl > 0, sincl / cincl, np.nan)
-                    for j, m in enumerate(metrics):
-                        out[f"expanding_{m}"] = E[:, j]
+                    emit("expanding_{m}", E)
                 if session_anchored:
                     num = sincl - np.where(np.isnan(base_s), 0.0, base_s)
                     den = cincl - np.where(np.isnan(base_c), 0.0, base_c)
                     with np.errstate(invalid="ignore", divide="ignore"):
                         S = np.where(den > 0, num / den, np.nan)
-                    for j, m in enumerate(metrics):
-                        out[f"session_avg_{m}"] = S[:, j]
+                    emit("session_avg_{m}", S)
 
         # ---- EWMA. Two transports, bit-identical (parity-pinned):
         #
@@ -348,8 +349,7 @@ def window_features_ewma_kernel(
                     upd = (om * avg + alpha * x) / den
                     avg = np.where(avg == x, avg, upd)
                 EW[t] = avg
-            for j, m in enumerate(metrics):
-                out[f"{ewma_prefix}{m}"] = EW[:, j]
+            emit(ewma_prefix + "{m}", EW)
         elif ewma_span:
             codes = np.cumsum(new_ent)
             gkey = pd.Series(codes)
@@ -365,9 +365,7 @@ def window_features_ewma_kernel(
                 # presorted input keeps groups in row order, so the frame
                 # already aligns positionally: one matrix extraction
                 # replaces M per-column reindex calls
-                EW = ewm.to_numpy()
-                for j, m in enumerate(metrics):
-                    out[f"{ewma_prefix}{m}"] = EW[:, j]
+                emit(ewma_prefix + "{m}", ewm.to_numpy())
             else:
                 for m in metrics:
                     out[f"{ewma_prefix}{m}"] = ewm[m].reindex(range(n)).to_numpy()
