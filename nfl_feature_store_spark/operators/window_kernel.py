@@ -136,15 +136,23 @@ def window_features_ewma_kernel(
             sub = sub.iloc[sort_idx].reset_index(drop=True)
 
         # values as float64 with NaN at NULLs + the true Arrow null masks
-        # (a NaN VALUE stays "valid" and poisons sums, exactly like Spark)
+        # (a NaN VALUE stays "valid" and poisons sums, exactly like Spark).
+        # Arrow tracks null_count per column, so a null-free partition is
+        # provable from metadata alone — skip materializing the 190-column
+        # VALID matrix entirely in that (engine-typical) case.
         X = np.empty((n, M), dtype=np.float64)
-        VALID = np.empty((n, M), dtype=bool)
-        for j, m in enumerate(metrics):
+        cast_cols = []
+        for m in metrics:
             col = tbl.column(m)
             if col.type != pa.float64():
                 col = pc.cast(col, pa.float64())
+            cast_cols.append(col)
+        all_valid = all(col.null_count == 0 for col in cast_cols)
+        VALID = None if all_valid else np.empty((n, M), dtype=bool)
+        for j, col in enumerate(cast_cols):
             X[:, j] = col.to_numpy(zero_copy_only=False)
-            VALID[:, j] = ~pc.is_null(col).to_numpy(zero_copy_only=False)
+            if VALID is not None:
+                VALID[:, j] = ~pc.is_null(col).to_numpy(zero_copy_only=False)
 
         ent = sub[entity_col].to_numpy()
         new_ent = np.empty(n, dtype=bool)
@@ -156,7 +164,6 @@ def window_features_ewma_kernel(
         # vectorized fast paths: validity masks collapse to the 1D ``pos``
         # bound and the sliding chains run in-place on array VIEWS instead
         # of allocating shifted copies — same arithmetic, same order
-        all_valid = bool(VALID.all())
 
         out: dict[str, np.ndarray] = {}
 
@@ -335,20 +342,34 @@ def window_features_ewma_kernel(
             alpha = 2.0 / (ewma_span + 1.0)
             om = 1.0 - alpha
             den = om + alpha  # pandas divides by (old_wt + new_wt), not 1.0
+            # Batched by TURN POSITION, not by row (round-6: the per-row
+            # loop paid ~7 numpy dispatches per row — 0.20s of a 1.6s
+            # partition at width 190; this form pays them per position,
+            # max-entity-length iterations total). Each entity's lane in
+            # AVG advances through exactly the same update sequence as the
+            # row loop — same operands, same elementwise ops, so results
+            # stay bitwise identical (pinned by the parity suites and the
+            # randomized rowloop-vs-stepbatch trials in
+            # tests/test_window_kernel.py).
+            starts = np.nonzero(new_ent)[0]
+            lens = np.diff(np.append(starts, n))
+            maxlen = int(lens.max()) if n else 0
             EW = np.empty((n, M), dtype=np.float64)
-            avg = np.empty(M, dtype=np.float64)
-            for t in range(n):
-                p = pos[t]
-                if p == 0:
-                    EW[t] = np.nan
-                    continue
-                x = L[t]
+            EW[starts] = np.nan  # pos==0 rows have no prior history
+            AVG = np.empty((len(starts), M), dtype=np.float64)
+            for p in range(1, maxlen):
+                act = lens > p
+                rows = starts[act] + p
+                x = L[rows]
                 if p == 1:
-                    avg = x.copy()
+                    new_avg = x
                 else:
-                    upd = (om * avg + alpha * x) / den
-                    avg = np.where(avg == x, avg, upd)
-                EW[t] = avg
+                    a_act = AVG[act]
+                    upd = (om * a_act + alpha * x) / den
+                    # pandas' adjust=False equality skip: avg == x keeps avg
+                    new_avg = np.where(a_act == x, a_act, upd)
+                AVG[act] = new_avg
+                EW[rows] = new_avg
             emit(ewma_prefix + "{m}", EW)
         elif ewma_span:
             codes = np.cumsum(new_ent)

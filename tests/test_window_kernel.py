@@ -74,6 +74,80 @@ def test_kernel_bitwise_parity(corpus, spec, span):
     assert new.exceptAll(old).count() == 0
 
 
+def test_kernel_bitwise_parity_all_valid(corpus):
+    """Null-free metrics route through the kernel's all-valid fast paths
+    (validity from Arrow null_count metadata, vectorized expanding/session,
+    step-batched EWMA recursion) — pin those bitwise against expression
+    mode too. ``words``/``is_tool``/``signed`` carry no injected NULLs, so
+    every partition takes the fast path."""
+    spec = FeatureSpec(metrics=("words", "is_tool", "signed"))
+    old = _expr_path(corpus, spec, 10)
+    new = window_features_ewma_kernel(corpus, spec, ewma_span=10, presorted=True)
+    assert old.columns == new.columns
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+
+def test_ewma_stepbatch_matches_rowloop():
+    """The all-valid EWMA is batched by turn position (round-6); each
+    entity's lane must advance through bit-identical updates to the
+    reference per-row recursion (pandas adjust=False semantics incl. the
+    avg == x equality skip). Randomized shapes: entity lengths 1..60,
+    repeated values (integer-valued metrics make equality hits common),
+    varied spans."""
+    import numpy as np
+
+    for seed, span in [(0, 10), (1, 3), (2, 5), (3, 10)]:
+        rng = np.random.default_rng(seed)
+        lens = rng.integers(1, 60, size=rng.integers(3, 40))
+        n = int(lens.sum())
+        M = int(rng.integers(1, 8))
+        # small integer values: repeats trigger the equality-skip branch
+        X = rng.integers(0, 4, size=(n, M)).astype(np.float64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        new_ent = np.zeros(n, dtype=bool)
+        new_ent[starts] = True
+        pos = np.arange(n) - np.maximum.accumulate(np.where(new_ent, np.arange(n), 0))
+        L = np.full((n, M), np.nan)
+        L[1:] = X[:-1]
+        L[new_ent] = np.nan
+        alpha = 2.0 / (span + 1.0)
+        om = 1.0 - alpha
+        den = om + alpha
+        # reference: the original row loop
+        ref = np.empty((n, M))
+        avg = np.empty(M)
+        for t in range(n):
+            if pos[t] == 0:
+                ref[t] = np.nan
+                continue
+            x = L[t]
+            if pos[t] == 1:
+                avg = x.copy()
+            else:
+                upd = (om * avg + alpha * x) / den
+                avg = np.where(avg == x, avg, upd)
+            ref[t] = avg
+        # shipped: step-batched (mirrors window_kernel.py)
+        maxlen = int(lens.max())
+        EW = np.empty((n, M))
+        EW[starts] = np.nan
+        AVG = np.empty((len(starts), M))
+        for p in range(1, maxlen):
+            act = lens > p
+            rows = starts[act] + p
+            x = L[rows]
+            if p == 1:
+                new_avg = x
+            else:
+                a_act = AVG[act]
+                upd = (om * a_act + alpha * x) / den
+                new_avg = np.where(a_act == x, a_act, upd)
+            AVG[act] = new_avg
+            EW[rows] = new_avg
+        assert np.array_equal(ref, EW, equal_nan=True), (seed, span)
+
+
 def test_kernel_pipeline_single_exchange(spark):
     from nfl_feature_store_spark.sources.transcripts import gen_transcripts_distributed
 
