@@ -148,6 +148,54 @@ def test_ewma_stepbatch_matches_rowloop():
         assert np.array_equal(ref, EW, equal_nan=True), (seed, span)
 
 
+def test_sliding_unmasked_repair_matches_masked():
+    """The all-valid sliding chain runs unmasked adds plus an exact
+    boundary-row repair (round-6); it must be bitwise equal to the
+    reference where-masked chain. Randomized shapes: entity lengths 1..40,
+    k in {2,3,5,10}, negative/large-magnitude and NaN-bearing values (NaN
+    is a VALID value on this path and must poison frames identically)."""
+    import numpy as np
+
+    for seed, k in [(0, 3), (1, 10), (2, 2), (3, 5), (4, 10)]:
+        rng = np.random.default_rng(seed)
+        lens = rng.integers(1, 40, size=rng.integers(3, 50))
+        n = int(lens.sum())
+        M = int(rng.integers(1, 6))
+        X = ((rng.integers(0, 2001, size=(n, M)) - 1000) * 1e7).astype(np.float64)
+        X[rng.random((n, M)) < 0.02] = np.nan
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        new_ent = np.zeros(n, dtype=bool)
+        new_ent[starts] = True
+        pos = np.arange(n) - np.maximum.accumulate(np.where(new_ent, np.arange(n), 0))
+
+        # reference: the original where-masked chain
+        acc = np.zeros((n, M))
+        for j in range(k, 0, -1):
+            m1 = pos[j:] >= j
+            m2 = pos[j:] >= j + 1
+            np.add(acc[j:], X[:-j], out=acc[j:], where=m2[:, None])
+            np.copyto(acc[j:], X[:-j], where=(m1 & ~m2)[:, None])
+        cnt = np.minimum(pos, k)[:, None]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ref = np.where(cnt > 0, acc / cnt, np.nan)
+
+        # shipped: unmasked adds + boundary repair (mirrors window_kernel.py)
+        acc2 = np.zeros((n, M))
+        for j in range(k, 0, -1):
+            np.add(acc2[j:], X[:-j], out=acc2[j:])
+        b = np.nonzero((pos >= 1) & (pos <= k))[0]
+        if b.size:
+            accb = X[b - pos[b]].copy()
+            for d in range(1, k):
+                sel = pos[b] >= d + 1
+                rows = b[sel]
+                accb[sel] += X[rows - (pos[rows] - d)]
+            acc2[b] = accb
+        with np.errstate(invalid="ignore", divide="ignore"):
+            got = np.where(cnt > 0, acc2 / cnt, np.nan)
+        assert np.array_equal(ref, got, equal_nan=True), (seed, k)
+
+
 def test_kernel_pipeline_single_exchange(spark):
     from nfl_feature_store_spark.sources.transcripts import gen_transcripts_distributed
 
